@@ -1,0 +1,256 @@
+"""Llama-family model (Llama 2/3.x) — functional JAX with paged KV.
+
+Ref: models/src/llama.rs — HF-config deserialization incl. Llama-3 rope
+scaling (:22-83), rope cos/sin cache precomputed to max_position_embeddings
+(:141-200), forward over a flattened ``[num_tokens]`` batch with per-layer
+paged KV and last-token selection before the LM head (:456-478).
+
+TPU-native design departures from the reference:
+- layers are executed with ``lax.scan`` over stacked parameters (one compiled
+  layer body instead of L inlined copies — faster compiles, same HLO per step);
+- attention is a single ragged paged-attention op handling prefill chunks and
+  decodes in one batch (the reference dispatches between three CUDA kernels,
+  flash_attention.rs:399-464);
+- parameters carry optional weight-only quantization (int8/int4 + scales) —
+  beyond the reference, required by BASELINE.json configs #3-5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rope import RopeScalingConfig, apply_rope, compute_cos_sin_cache
+from ..ops.attention import AttentionMetadata, ragged_paged_attention
+from ..ops.kv_cache import write_kv_cache
+from ..ops.quant import QuantizedLinear, quantized_matmul
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Model hyperparameters (ref: llama.rs:22-124 LlamaConfig/Config)."""
+
+    vocab_size: int = 128256
+    hidden_size: int = 2048
+    intermediate_size: int = 8192
+    num_hidden_layers: int = 16
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: int = 64
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    rope_scaling: Optional[RopeScalingConfig] = None
+    max_position_embeddings: int = 131072
+    tie_word_embeddings: bool = True
+    eos_token_ids: Tuple[int, ...] = (128001, 128008, 128009)
+    bos_token_id: int = 128000
+    sliding_window: Optional[int] = None
+
+    @classmethod
+    def from_hf_dict(cls, d: Dict[str, Any]) -> "LlamaConfig":
+        """Build from an HF ``config.json`` dict (ref: llama.rs:22-83)."""
+        scaling = None
+        rs = d.get("rope_scaling")
+        if rs and rs.get("rope_type", rs.get("type")) == "llama3":
+            scaling = RopeScalingConfig(
+                factor=rs.get("factor", 8.0),
+                low_freq_factor=rs.get("low_freq_factor", 1.0),
+                high_freq_factor=rs.get("high_freq_factor", 4.0),
+                original_max_position_embeddings=rs.get(
+                    "original_max_position_embeddings", 8192
+                ),
+            )
+        eos = d.get("eos_token_id", 2)
+        eos_ids = tuple(eos) if isinstance(eos, (list, tuple)) else (eos,)
+        n_heads = d["num_attention_heads"]
+        return cls(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=n_heads,
+            num_key_value_heads=d.get("num_key_value_heads", n_heads),
+            head_dim=d.get("head_dim", d["hidden_size"] // n_heads),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_theta=d.get("rope_theta", 10000.0),
+            rope_scaling=scaling,
+            max_position_embeddings=d.get("max_position_embeddings", 4096),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            eos_token_ids=eos_ids,
+            bos_token_id=d.get("bos_token_id", 1),
+        )
+
+    # Accessors the cache engine needs (ref: model_executor.rs:116-140
+    # ``Config`` trait).
+    @property
+    def num_layers(self) -> int:
+        return self.num_hidden_layers
+
+    @property
+    def num_kv_heads(self) -> int:
+        return self.num_key_value_heads
+
+    @property
+    def q_heads_per_kv_head(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """RMSNorm in f32 (ref: llama.rs rms_norm usage :402-405)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Matmul against a dense or quantized weight."""
+    if isinstance(w, QuantizedLinear):
+        return quantized_matmul(x, w)
+    return jnp.dot(x, w)
+
+
+class Llama:
+    """Llama forward pass over the paged KV cache (ref: llama.rs:456-478)."""
+
+    def __init__(self, config: LlamaConfig, dtype=jnp.bfloat16):
+        self.config = config
+        self.dtype = dtype
+        cos, sin = compute_cos_sin_cache(
+            config.head_dim,
+            config.max_position_embeddings,
+            config.rope_theta,
+            config.rope_scaling,
+        )
+        self.rope_cos = cos
+        self.rope_sin = sin
+
+    # -- parameter construction -------------------------------------------------
+    def init_params(self, rng: jax.Array) -> Dict[str, Any]:
+        """Random-init parameters (tests/benchmarks; real serving loads
+        safetensors via models/weights.py)."""
+        cfg = self.config
+        k = iter(jax.random.split(rng, 16))
+        h, i, d = cfg.hidden_size, cfg.intermediate_size, cfg.head_dim
+        hq, hk, L = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.num_layers
+
+        def init(key, shape, fan_in):
+            return (
+                jax.random.normal(key, shape, dtype=jnp.float32) * fan_in**-0.5
+            ).astype(self.dtype)
+
+        params = {
+            "embed": init(next(k), (cfg.vocab_size, h), h),
+            "layers": {
+                "input_norm": jnp.ones((L, h), dtype=self.dtype),
+                "q_proj": init(next(k), (L, h, hq * d), h),
+                "k_proj": init(next(k), (L, h, hk * d), h),
+                "v_proj": init(next(k), (L, h, hk * d), h),
+                "o_proj": init(next(k), (L, hq * d, h), hq * d),
+                "post_norm": jnp.ones((L, h), dtype=self.dtype),
+                "gate_proj": init(next(k), (L, h, i), h),
+                "up_proj": init(next(k), (L, h, i), h),
+                "down_proj": init(next(k), (L, i, h), i),
+            },
+            "final_norm": jnp.ones((h,), dtype=self.dtype),
+        }
+        if not cfg.tie_word_embeddings:
+            params["lm_head"] = init(next(k), (h, cfg.vocab_size), h)
+        return params
+
+    # -- forward ------------------------------------------------------------------
+    def forward(
+        self,
+        params: Dict[str, Any],
+        token_ids: jnp.ndarray,   # [T] int32 flattened batch
+        positions: jnp.ndarray,   # [T] int32 per-token positions
+        k_cache: jnp.ndarray,     # [L, num_slots, Hk, D]
+        v_cache: jnp.ndarray,
+        attn_meta: AttentionMetadata,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (hidden [T, H], updated k_cache, v_cache)."""
+        cfg = self.config
+        h = params["embed"][token_ids].astype(self.dtype)
+
+        cos, sin = self.rope_cos, self.rope_sin
+        scale = cfg.head_dim**-0.5
+
+        def layer_fn(carry, xs):
+            hidden = carry
+            lp, k_c, v_c = xs
+            # Attention block (ref: llama.rs:218-320).
+            normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
+            q = _linear(normed, lp["q_proj"]).reshape(
+                -1, cfg.num_attention_heads, cfg.head_dim
+            )
+            kk = _linear(normed, lp["k_proj"]).reshape(
+                -1, cfg.num_key_value_heads, cfg.head_dim
+            )
+            vv = _linear(normed, lp["v_proj"]).reshape(
+                -1, cfg.num_key_value_heads, cfg.head_dim
+            )
+            q = apply_rope(q, positions, cos, sin)
+            kk = apply_rope(kk, positions, cos, sin)
+            # Write new KV into the paged cache, then attend over it
+            # (ref: flash_attention.rs:360-361 order).
+            k_c, v_c = write_kv_cache(k_c, v_c, kk, vv, attn_meta.slot_mapping)
+            attn = ragged_paged_attention(
+                q,
+                k_c,
+                v_c,
+                attn_meta,
+                scale=scale,
+                sliding_window=cfg.sliding_window,
+            )
+            attn = attn.reshape(-1, cfg.num_attention_heads * cfg.head_dim)
+            hidden = hidden + _linear(attn, lp["o_proj"])
+            # MLP block (ref: llama.rs:362-366).
+            normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
+            gate = _linear(normed, lp["gate_proj"])
+            up = _linear(normed, lp["up_proj"])
+            hidden = hidden + _linear(jax.nn.silu(gate) * up, lp["down_proj"])
+            return hidden, (k_c, v_c)
+
+        h, (k_cache, v_cache) = jax.lax.scan(
+            layer_fn, h, (params["layers"], k_cache, v_cache)
+        )
+        return h, k_cache, v_cache
+
+    def compute_logits(
+        self,
+        params: Dict[str, Any],
+        hidden: jnp.ndarray,  # [S, H] — already gathered at last-token rows
+    ) -> jnp.ndarray:
+        """Final norm + LM head on the selected rows only, logits in f32
+        (ref: llama.rs:474-477 index_select → lm_head → f32)."""
+        cfg = self.config
+        hidden = rms_norm(hidden, params["final_norm"], cfg.rms_norm_eps)
+        if cfg.tie_word_embeddings and "lm_head" not in params:
+            logits = jnp.dot(
+                hidden, params["embed"].T, preferred_element_type=jnp.float32
+            )
+        else:
+            w = params["lm_head"]
+            if isinstance(w, QuantizedLinear):
+                logits = quantized_matmul(hidden, w).astype(jnp.float32)
+            else:
+                logits = jnp.dot(
+                    hidden, w, preferred_element_type=jnp.float32
+                )
+        return logits
+
+    # -- cache shape contract (ref: flash_attention.rs:239-246) -----------------
+    def kv_cache_shape(
+        self, num_blocks: int, block_size: int
+    ) -> Tuple[int, int, int, int]:
+        cfg = self.config
+        return (
+            cfg.num_layers,
+            num_blocks * block_size,
+            cfg.num_key_value_heads,
+            cfg.head_dim,
+        )

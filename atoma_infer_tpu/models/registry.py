@@ -1,0 +1,34 @@
+"""Model registry (ref: backends/vllm/src/models/mod.rs model registration).
+
+Maps HF ``model_type`` / architecture names to model classes. The reference
+registers only Llama (Mistral and Phi3 exist in its models crate but are
+unwired — SURVEY.md §2.3); here all three families are registered.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Type
+
+
+def get_model_cls(model_type: str):
+    from .llama import Llama
+    from .mistral import Mistral
+    from .phi3 import Phi3
+
+    registry: Dict[str, Type] = {
+        "llama": Llama,
+        "mistral": Mistral,
+        "phi3": Phi3,
+        "LlamaForCausalLM": Llama,
+        "MistralForCausalLM": Mistral,
+        "Phi3ForCausalLM": Phi3,
+    }
+    if model_type not in registry:
+        raise ValueError(
+            f"unsupported model type {model_type!r}; known: {sorted(registry)}"
+        )
+    return registry[model_type]
+
+
+def list_models():
+    return ["llama", "mistral", "phi3"]

@@ -1,0 +1,120 @@
+"""Attention backend abstraction: metadata contract + kernel dispatch.
+
+The analog of the reference's ``FlashAttention`` backend struct + metadata
+(ref: models/src/flash_attention.rs:11-146,175-196): one metadata bundle
+describes the ragged batch (block tables, sequence lengths, cumulative query
+offsets, slot mapping), and ``ragged_paged_attention`` dispatches to the
+Pallas TPU kernel or the pure-XLA fallback.
+
+Unlike the reference's three-way kernel dispatch (fresh prefill / prefix
+prefill / decode, flash_attention.rs:399-464), a single ragged kernel covers
+all cases: every query token attends causally to its sequence's paged cache
+prefix. Prefill, chunked prefill, prefix-cached prefill, and decode are all
+the same computation at different query lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import reference
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionMetadata:
+    """Ragged-batch descriptor (ref: flash_attention.rs:11-146).
+
+    Shapes (S = padded seq slots, T = padded token count, P = padded pages):
+      slot_mapping    [T] int32 — destination KV slot per new token, -1 pad
+                      (ref: worker.rs:373-401)
+      block_tables    [S, P] int32 — physical pages per sequence
+      seq_lens        [S] int32 — kv length incl. this step's tokens; 0 pad
+      query_start_loc [S+1] int32 — cumulative query lengths
+                      (ref: seq_start_loc/query_start_loc, worker.rs:405-450)
+      num_seqs        [] int32 — actual sequence count (≤ S)
+      block_size      static int — KV page size in tokens
+    """
+
+    slot_mapping: jnp.ndarray
+    block_tables: jnp.ndarray
+    seq_lens: jnp.ndarray
+    query_start_loc: jnp.ndarray
+    num_seqs: jnp.ndarray
+    block_size: int = dataclasses.field(default=16, metadata=dict(static=True))
+
+
+jax.tree_util.register_dataclass(
+    AttentionMetadata,
+    data_fields=[
+        "slot_mapping",
+        "block_tables",
+        "seq_lens",
+        "query_start_loc",
+        "num_seqs",
+    ],
+    meta_fields=["block_size"],
+)
+
+
+# Kernel selection: "pallas" on real TPU, "xla" fallback elsewhere.
+_BACKEND = os.environ.get("ATOMA_ATTENTION_BACKEND", "auto")
+
+
+def _use_pallas() -> bool:
+    if _BACKEND == "pallas":
+        return True
+    if _BACKEND == "xla":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def set_attention_backend(name: str) -> None:
+    """Force "pallas" | "xla" | "auto" (tests and benchmarking)."""
+    global _BACKEND
+    assert name in ("pallas", "xla", "auto")
+    _BACKEND = name
+
+
+def ragged_paged_attention(
+    q: jnp.ndarray,        # [T, num_q_heads, head_dim]
+    k_cache: jnp.ndarray,  # [num_slots, num_kv_heads, head_dim]
+    v_cache: jnp.ndarray,
+    meta: AttentionMetadata,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Unified prefill+decode attention over the paged cache → [T, Hq, D]."""
+    if _use_pallas():
+        from .paged_attention import ragged_paged_attention_pallas
+
+        return ragged_paged_attention_pallas(
+            q,
+            k_cache,
+            v_cache,
+            meta,
+            scale=scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+        )
+    return reference.ragged_paged_attention_xla(
+        q,
+        k_cache,
+        v_cache,
+        meta.block_tables,
+        meta.seq_lens,
+        meta.query_start_loc,
+        scale=scale,
+        block_size=meta.block_size,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+    )

@@ -1,0 +1,151 @@
+"""Weight-only INT8/INT4 quantization (+ quantized KV-cache helpers).
+
+The reference has no quantization (an unchecked roadmap item, README Status
+list); BASELINE.json requires INT8/INT4 weight-only dequant+matmul and
+INT8/FP8 KV-cache support, so this module is new ground.
+
+Scheme: symmetric per-output-channel, sub-channel (grouped along the
+contraction axis) scales — ``w ≈ qweight · scale[group, out]``. INT4 packs two
+values per int8 byte along the contraction axis. The XLA path dequantizes
+into the matmul (XLA fuses convert+multiply into the MXU feed); a Pallas
+kernel (ops/quant_kernels.py) provides the guaranteed fused path on TPU where
+HBM reads stay at 1 (or 0.5) bytes/weight.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_GROUP_SIZE = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedTensor:
+    """A quantized linear weight: ``w ≈ qweight · scales`` (grouped)."""
+
+    qweight: jnp.ndarray  # int8 [in(/2 for int4), out]
+    scales: jnp.ndarray   # bf16 [in//group_size, out]
+    bits: int = dataclasses.field(default=8, metadata=dict(static=True))
+    group_size: int = dataclasses.field(
+        default=DEFAULT_GROUP_SIZE, metadata=dict(static=True)
+    )
+
+    @property
+    def in_dim(self) -> int:
+        return self.qweight.shape[-2] * (2 if self.bits == 4 else 1)
+
+    @property
+    def out_dim(self) -> int:
+        return self.qweight.shape[-1]
+
+
+jax.tree_util.register_dataclass(
+    QuantizedTensor,
+    data_fields=["qweight", "scales"],
+    meta_fields=["bits", "group_size"],
+)
+
+# Back-compat alias used in type positions.
+QuantizedLinear = QuantizedTensor
+
+
+def quantize_weight(
+    w: jnp.ndarray, bits: int = 8, group_size: int = DEFAULT_GROUP_SIZE
+) -> QuantizedTensor:
+    """Quantize ``w: [in, out]`` to int8/int4 with grouped absmax scales."""
+    assert bits in (8, 4)
+    in_dim, out_dim = w.shape
+    if in_dim % group_size != 0:
+        group_size = in_dim  # degenerate: one group
+    wf = w.astype(jnp.float32).reshape(in_dim // group_size, group_size, out_dim)
+    qmax = 127.0 if bits == 8 else 7.0
+    absmax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)  # [G, 1, out]
+    scales = jnp.maximum(absmax / qmax, 1e-8)
+    q = jnp.clip(jnp.round(wf / scales), -qmax, qmax).astype(jnp.int8)
+    q = q.reshape(in_dim, out_dim)
+    if bits == 4:
+        # Pack adjacent contraction rows into one byte: row 2j → low nibble,
+        # row 2j+1 → high nibble.
+        assert in_dim % 2 == 0
+        lo = q[0::2].astype(jnp.uint8) & 0xF
+        hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
+        q = (lo | hi).astype(jnp.int8)
+    return QuantizedTensor(
+        qweight=q,
+        scales=scales[:, 0, :].astype(jnp.bfloat16),
+        bits=bits,
+        group_size=group_size,
+    )
+
+
+def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
+    """Unpack [..., in/2, out] int8 bytes → [..., in, out] int8 in [-7, 7]."""
+    as_u8 = packed.astype(jnp.uint8)
+    lo = (as_u8 & 0xF).astype(jnp.int8)
+    hi = ((as_u8 >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    new_shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
+    return stacked.reshape(new_shape)
+
+
+def dequantize_weight(w: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Materialize the bf16 weight (tests + fallback path)."""
+    q = w.qweight
+    if w.bits == 4:
+        q = _unpack_int4(q)
+    in_dim, out_dim = q.shape[-2:]
+    group_size = w.group_size if in_dim % w.group_size == 0 else in_dim
+    scales = w.scales.astype(jnp.float32)  # [..., G, out]
+    deq = q.astype(jnp.float32).reshape(
+        *q.shape[:-2], in_dim // group_size, group_size, out_dim
+    ) * scales[..., :, None, :]
+    return deq.reshape(*q.shape[:-2], in_dim, out_dim).astype(dtype)
+
+
+def quantized_matmul(x: jnp.ndarray, w: QuantizedTensor) -> jnp.ndarray:
+    """``x @ dequant(w)`` with dequant fused into the contraction.
+
+    Grouped contraction keeps the int8→bf16 convert adjacent to the dot so
+    XLA fuses it into the MXU feed instead of materializing the bf16 weight
+    in HBM.
+    """
+    q = w.qweight
+    if w.bits == 4:
+        q = _unpack_int4(q)
+    in_dim, out_dim = q.shape[-2:]
+    group_size = w.group_size if in_dim % w.group_size == 0 else in_dim
+    num_groups = in_dim // group_size
+    scales = w.scales  # [G, out]
+
+    xg = x.reshape(*x.shape[:-1], num_groups, group_size)
+    qg = q.reshape(num_groups, group_size, out_dim)
+    partial = jnp.einsum(
+        "...gk,gko->...go",
+        xg.astype(jnp.bfloat16),
+        qg.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.sum(partial * scales.astype(jnp.float32), axis=-2)
+    return out.astype(x.dtype)
+
+
+# ----------------------------------------------------------------- KV quant
+def quantize_kv(
+    kv: jnp.ndarray,  # [T, num_kv_heads, head_dim]
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(token, head) symmetric int8 quantization of new KV rows."""
+    absmax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(kv / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.float32)  # [T, H]
+
+
+def dequantize_kv(
+    q: jnp.ndarray, scale: jnp.ndarray, dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    return (q.astype(jnp.float32) * scale[..., None]).astype(dtype)
