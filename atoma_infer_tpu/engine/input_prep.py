@@ -1,0 +1,170 @@
+"""Scheduler output → padded device arrays (the worker's input prep).
+
+TPU-native analog of the reference's ``prepare_input_tensors``
+(ref: backends/vllm/src/worker.rs:224-460): flattens the batch in
+prefill-then-decode order, computes per-token slot mappings
+(``block_number·block_size + offset``, pad −1, worker.rs:373-401), padded
+block tables, and cumulative ``query_start_loc`` (worker.rs:405-450), plus the
+last-token row indices for sampling (``compute_selected_token_indices``,
+worker.rs:688-698).
+
+The XLA-specific addition the CUDA reference does not need: every array is
+padded to a small set of **bucket shapes** so each engine step hits an
+already-compiled executable (SURVEY.md §7 hard part #2). Buckets are powers
+of two for the token axis, the sequence axis, and the block-table width.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.attention import AttentionMetadata
+from ..ops.kv_cache import PAD_SLOT_ID
+from ..sequence import SequenceGroupMetadata
+
+
+def bucket(n: int, minimum: int = 8, maximum: Optional[int] = None) -> int:
+    """Round up to the next power of two (≥ minimum), capped at maximum."""
+    b = minimum
+    while b < n:
+        b *= 2
+    if maximum is not None:
+        b = min(b, max(maximum, minimum))
+    return b
+
+
+@dataclasses.dataclass
+class ModelInput:
+    """Host-side batch arrays ready for ``device_put`` (ref: worker.rs
+    ``ModelInput``). All shapes are bucketed."""
+
+    token_ids: np.ndarray        # [T] int32
+    positions: np.ndarray        # [T] int32
+    slot_mapping: np.ndarray     # [T] int32 (PAD_SLOT_ID padding)
+    block_tables: np.ndarray     # [S, P] int32
+    seq_lens: np.ndarray         # [S] int32 (0 beyond num_seqs)
+    query_start_loc: np.ndarray  # [S+1] int32
+    num_seqs: np.ndarray         # [] int32
+    # Sampling side:
+    selected_token_indices: np.ndarray  # [S] int32 — last-token row per seq
+    sample_mask: np.ndarray      # [S] bool — do_sample per scheduled seq
+    seq_ids: List[int]           # actual seq ids, scheduler order
+    request_ids: List[str]       # owning request per scheduled seq
+    num_prefills: int
+
+    def attention_metadata(self, block_size: int) -> AttentionMetadata:
+        import jax.numpy as jnp
+
+        return AttentionMetadata(
+            slot_mapping=jnp.asarray(self.slot_mapping),
+            block_tables=jnp.asarray(self.block_tables),
+            seq_lens=jnp.asarray(self.seq_lens),
+            query_start_loc=jnp.asarray(self.query_start_loc),
+            num_seqs=jnp.asarray(self.num_seqs),
+            block_size=block_size,
+        )
+
+
+def prepare_model_input(
+    metadata_list: List[SequenceGroupMetadata],
+    *,
+    block_size: int,
+    max_num_batched_tokens: int,
+    max_num_seqs: int,
+    max_pages_per_seq: int,
+    sliding_window: Optional[int] = None,
+) -> ModelInput:
+    """Flatten one step's scheduled groups into bucketed batch arrays.
+
+    Layout contract: prefill chunks first, then decode tokens, sequences
+    back-to-back (ref: flash_attention.rs:156-174 + scheduler ordering).
+    """
+    token_ids: List[int] = []
+    positions: List[int] = []
+    slot_mapping: List[int] = []
+    per_seq_tables: List[List[int]] = []
+    seq_lens: List[int] = []
+    q_lens: List[int] = []
+    sample_mask: List[bool] = []
+    seq_ids: List[int] = []
+    request_ids: List[str] = []
+    num_prefills = 0
+
+    for meta in metadata_list:
+        if meta.is_prompt:
+            num_prefills += 1
+        for seq_id, seq_data in meta.seq_data.items():
+            table = meta.block_tables[seq_id]
+            computed = seq_data.get_num_computed_tokens()
+            if meta.is_prompt:
+                chunk = meta.token_chunk_size
+            else:
+                chunk = 1
+            all_tokens = seq_data.get_token_ids()
+            new_tokens = all_tokens[computed : computed + chunk]
+            kv_len = computed + len(new_tokens)
+
+            token_ids.extend(new_tokens)
+            positions.extend(range(computed, kv_len))
+            for pos in range(computed, kv_len):
+                # Sliding-window slot reuse happens at the block-manager level
+                # (blocks modulo window); the mapping here is always linear in
+                # the table (ref: worker.rs:373-401).
+                page = table[(pos // block_size) % max(len(table), 1)]
+                slot_mapping.append(page * block_size + pos % block_size)
+
+            per_seq_tables.append(list(table))
+            seq_lens.append(kv_len)
+            q_lens.append(len(new_tokens))
+            sample_mask.append(meta.do_sample)
+            seq_ids.append(seq_id)
+            request_ids.append(meta.request_id)
+
+    num_tokens = len(token_ids)
+    num_seqs = len(seq_lens)
+    T = bucket(max(num_tokens, 1), minimum=8, maximum=None)
+    S = bucket(max(num_seqs, 1), minimum=8, maximum=None)
+    max_pages = max((len(t) for t in per_seq_tables), default=1)
+    P = bucket(max(max_pages, 1), minimum=4, maximum=max_pages_per_seq)
+
+    tok = np.zeros(T, dtype=np.int32)
+    tok[:num_tokens] = token_ids
+    pos = np.zeros(T, dtype=np.int32)
+    pos[:num_tokens] = positions
+    slots = np.full(T, PAD_SLOT_ID, dtype=np.int32)
+    slots[:num_tokens] = slot_mapping
+
+    tables = np.zeros((S, P), dtype=np.int32)
+    for i, t in enumerate(per_seq_tables):
+        tables[i, : min(len(t), P)] = t[:P]
+
+    sl = np.zeros(S, dtype=np.int32)
+    sl[:num_seqs] = seq_lens
+    qsl = np.zeros(S + 1, dtype=np.int32)
+    qsl[1 : num_seqs + 1] = np.cumsum(q_lens)
+    qsl[num_seqs + 1 :] = qsl[num_seqs]
+
+    # Last-token row per sequence (ref: worker.rs:688-698); padding seqs point
+    # at row 0 (their sampled tokens are discarded).
+    sel = np.zeros(S, dtype=np.int32)
+    sel[:num_seqs] = qsl[1 : num_seqs + 1] - 1
+    smask = np.zeros(S, dtype=bool)
+    smask[:num_seqs] = sample_mask
+
+    return ModelInput(
+        token_ids=tok,
+        positions=pos,
+        slot_mapping=slots,
+        block_tables=tables,
+        seq_lens=sl,
+        query_start_loc=qsl,
+        num_seqs=np.asarray(num_seqs, dtype=np.int32),
+        selected_token_indices=sel,
+        sample_mask=smask,
+        seq_ids=seq_ids,
+        request_ids=request_ids,
+        num_prefills=num_prefills,
+    )

@@ -1,0 +1,183 @@
+"""Model worker: one jitted step = forward + logits + on-device sampling.
+
+TPU-native ``ModelWorker`` (ref: backends/vllm/src/worker.rs:111-191 +
+model_executor.rs ModelThread): where the reference spawns a blocking OS
+thread per GPU and samples on rank 0, here a single jitted SPMD function runs
+the whole step — cache maintenance, forward over the paged KV, last-token
+gather, logits, and batched sampling — returning only the sampled token ids
+and logprobs to the host (one small transfer per step, SURVEY.md §7 hard
+part #3).
+
+The KV cache is donated into the step function so XLA updates it in place.
+Each distinct input bucket shape compiles once and is cached by jit.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CacheConfig, SchedulerConfig
+from ..sequence import (
+    ExecuteModelRequest,
+    SequenceGroupOutput,
+    SequenceOutput,
+)
+from .cache_engine import CacheEngine
+from .input_prep import prepare_model_input
+from .sampler import PENALTY_WINDOW, SamplingTensors, sample
+
+logger = logging.getLogger(__name__)
+
+
+class ModelWorker:
+    """Executes scheduled batches against the model + paged KV cache."""
+
+    def __init__(
+        self,
+        model,                  # models.llama.Llama-compatible
+        params,
+        cache_engine: CacheEngine,
+        scheduler_config: SchedulerConfig,
+        cache_config: CacheConfig,
+    ):
+        self.model = model
+        self.params = params
+        self.cache_engine = cache_engine
+        self.scheduler_config = scheduler_config
+        self.cache_config = cache_config
+        self.max_pages_per_seq = max(
+            1,
+            -(-scheduler_config.max_model_len // cache_config.block_size),
+        )
+        self._step_counter = 0
+        self._step_fn = jax.jit(
+            self._step,
+            static_argnames=("needs_sampling", "needs_penalties"),
+            donate_argnames=("kv_cache",),
+        )
+
+    # ------------------------------------------------------------- jitted step
+    def _step(
+        self,
+        params,
+        kv_cache,
+        token_ids,
+        positions,
+        attn_meta,
+        selected_token_indices,
+        sampling,               # dict of device arrays
+        step,
+        *,
+        needs_sampling: bool,
+        needs_penalties: bool,
+    ):
+        hidden, kv_cache = self.model.forward(
+            params, token_ids, positions, kv_cache, attn_meta
+        )
+        # Last-token rows only, before the LM head (ref: llama.rs:474-477).
+        sel = hidden[selected_token_indices]
+        logits = self.model.compute_logits(params, sel)  # [S, V] f32
+        tokens, logprobs = sample(
+            logits,
+            temperature=sampling["temperature"],
+            top_k=sampling["top_k"],
+            top_p=sampling["top_p"],
+            do_sample=sampling["do_sample"],
+            seeds=sampling["seeds"],
+            repetition_penalty=sampling["repetition_penalty"],
+            frequency_penalty=sampling["frequency_penalty"],
+            recent_tokens=sampling["recent_tokens"],
+            step=step,
+            needs_sampling=needs_sampling,
+            needs_penalties=needs_penalties,
+        )
+        return kv_cache, tokens, logprobs
+
+    # ------------------------------------------------------------------ public
+    def execute_model(
+        self, request: ExecuteModelRequest
+    ) -> Dict[str, SequenceGroupOutput]:
+        """One engine step (ref: worker.rs:111-191): swap/copy cache blocks,
+        prepare inputs, forward+sample, package outputs per group."""
+        t0 = time.monotonic()
+        self.cache_engine.execute(
+            request.blocks_to_swap_in,
+            request.blocks_to_swap_out,
+            request.blocks_to_copy,
+        )
+        if not request.sequence_groups_metadata:
+            return {}
+
+        model_input = prepare_model_input(
+            request.sequence_groups_metadata,
+            block_size=self.cache_config.block_size,
+            max_num_batched_tokens=self.scheduler_config.max_num_batched_tokens,
+            max_num_seqs=self.scheduler_config.max_num_sequences,
+            max_pages_per_seq=self.max_pages_per_seq,
+            sliding_window=self.cache_config.sliding_window,
+        )
+        S = model_input.seq_lens.shape[0]
+
+        params_list = []
+        recent = []
+        for meta in request.sequence_groups_metadata:
+            for seq_id, seq_data in meta.seq_data.items():
+                params_list.append(meta.next_token_chooser_params)
+                recent.append(seq_data.get_token_ids()[-PENALTY_WINDOW:])
+        sampling = SamplingTensors.build(params_list, recent, S)
+
+        sampling_arrays = {
+            "temperature": jnp.asarray(sampling.temperature),
+            "top_k": jnp.asarray(sampling.top_k),
+            "top_p": jnp.asarray(sampling.top_p),
+            "do_sample": jnp.asarray(
+                sampling.do_sample & model_input.sample_mask
+            ),
+            "seeds": jnp.asarray(sampling.seeds),
+            "repetition_penalty": jnp.asarray(sampling.repetition_penalty),
+            "frequency_penalty": jnp.asarray(sampling.frequency_penalty),
+            "recent_tokens": jnp.asarray(sampling.recent_tokens),
+        }
+
+        kv_cache, tokens, logprobs = self._step_fn(
+            self.params,
+            self.cache_engine.kv_cache,
+            jnp.asarray(model_input.token_ids),
+            jnp.asarray(model_input.positions),
+            model_input.attention_metadata(self.cache_config.block_size),
+            jnp.asarray(model_input.selected_token_indices),
+            sampling_arrays,
+            jnp.asarray(self._step_counter, dtype=jnp.int32),
+            needs_sampling=sampling.needs_sampling,
+            needs_penalties=sampling.needs_penalties,
+        )
+        self.cache_engine.kv_cache = kv_cache
+        self._step_counter += 1
+
+        tokens_np = np.asarray(tokens)
+        logprobs_np = np.asarray(logprobs)
+        elapsed = time.monotonic() - t0
+
+        # Package per-group outputs (ref: model_executor.rs:339-354).
+        outputs: Dict[str, SequenceGroupOutput] = {}
+        i = 0
+        for meta in request.sequence_groups_metadata:
+            seq_outputs: Dict[int, SequenceOutput] = {}
+            for seq_id in meta.seq_data:
+                seq_outputs[seq_id] = SequenceOutput(
+                    parent_seq_id=seq_id,
+                    output_token=int(tokens_np[i]),
+                    logprob=float(logprobs_np[i]),
+                    is_new_token=meta.do_sample,
+                )
+                i += 1
+            outputs[meta.request_id] = SequenceGroupOutput(
+                outputs=seq_outputs, time_to_generate=elapsed
+            )
+        return outputs

@@ -168,11 +168,10 @@ class Llama:
         params: Dict[str, Any],
         token_ids: jnp.ndarray,   # [T] int32 flattened batch
         positions: jnp.ndarray,   # [T] int32 per-token positions
-        k_cache: jnp.ndarray,     # [L, num_slots, Hk, D]
-        v_cache: jnp.ndarray,
+        kv_cache: jnp.ndarray,    # [L, num_slots, 2, Hk, D] (K/V fused)
         attn_meta: AttentionMetadata,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Returns (hidden [T, H], updated k_cache, v_cache)."""
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (hidden [T, H], updated kv_cache)."""
         cfg = self.config
         h = params["embed"][token_ids].astype(self.dtype)
 
@@ -181,7 +180,7 @@ class Llama:
 
         def layer_fn(carry, xs):
             hidden = carry
-            lp, k_c, v_c = xs
+            lp, kv_c = xs
             # Attention block (ref: llama.rs:218-320).
             normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
             q = _linear(normed, lp["q_proj"]).reshape(
@@ -197,11 +196,10 @@ class Llama:
             kk = apply_rope(kk, positions, cos, sin)
             # Write new KV into the paged cache, then attend over it
             # (ref: flash_attention.rs:360-361 order).
-            k_c, v_c = write_kv_cache(k_c, v_c, kk, vv, attn_meta.slot_mapping)
+            kv_c = write_kv_cache(kv_c, kk, vv, attn_meta.slot_mapping)
             attn = ragged_paged_attention(
                 q,
-                k_c,
-                v_c,
+                kv_c,
                 attn_meta,
                 scale=scale,
                 sliding_window=cfg.sliding_window,
@@ -213,12 +211,12 @@ class Llama:
             gate = _linear(normed, lp["gate_proj"])
             up = _linear(normed, lp["up_proj"])
             hidden = hidden + _linear(jax.nn.silu(gate) * up, lp["down_proj"])
-            return hidden, (k_c, v_c)
+            return hidden, kv_c
 
-        h, (k_cache, v_cache) = jax.lax.scan(
-            layer_fn, h, (params["layers"], k_cache, v_cache)
+        h, kv_cache = jax.lax.scan(
+            layer_fn, h, (params["layers"], kv_cache)
         )
-        return h, k_cache, v_cache
+        return h, kv_cache
 
     def compute_logits(
         self,
@@ -243,14 +241,19 @@ class Llama:
                 )
         return logits
 
-    # -- cache shape contract (ref: flash_attention.rs:239-246) -----------------
+    # -- cache shape contract ---------------------------------------------------
     def kv_cache_shape(
         self, num_blocks: int, block_size: int
-    ) -> Tuple[int, int, int, int]:
+    ) -> Tuple[int, int, int, int, int]:
+        """Fused K/V cache shape [L, slots, 2, Hk, D] — the TPU-native analog
+        of the reference's per-layer ``[2, blocks, block_size, kv_heads, dim]``
+        contract (flash_attention.rs:239-246), with K/V fused per slot so the
+        attention kernel fetches both in one DMA per page."""
         cfg = self.config
         return (
             cfg.num_layers,
             num_blocks * block_size,
+            2,
             cfg.num_key_value_heads,
             cfg.head_dim,
         )

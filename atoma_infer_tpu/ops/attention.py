@@ -76,6 +76,20 @@ def _use_pallas() -> bool:
         return False
 
 
+def _pallas_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
+    """Mosaic DMA lane/sublane alignment constraints: merged head lanes must
+    be 128 multiples and pages 8-row multiples. Tiny test models fall back to
+    the XLA path."""
+    T, Hq, D = q.shape
+    Hk = kv_cache.shape[2]
+    return (
+        (Hq * D) % 128 == 0
+        and (2 * Hk * D) % 128 == 0
+        and meta.block_size % 8 == 0
+        and T % 8 == 0
+    )
+
+
 def set_attention_backend(name: str) -> None:
     """Force "pallas" | "xla" | "auto" (tests and benchmarking)."""
     global _BACKEND
@@ -84,9 +98,8 @@ def set_attention_backend(name: str) -> None:
 
 
 def ragged_paged_attention(
-    q: jnp.ndarray,        # [T, num_q_heads, head_dim]
-    k_cache: jnp.ndarray,  # [num_slots, num_kv_heads, head_dim]
-    v_cache: jnp.ndarray,
+    q: jnp.ndarray,         # [T, num_q_heads, head_dim]
+    kv_cache: jnp.ndarray,  # [num_slots, 2, num_kv_heads, head_dim]
     meta: AttentionMetadata,
     *,
     scale: float,
@@ -94,13 +107,12 @@ def ragged_paged_attention(
     soft_cap: Optional[float] = None,
 ) -> jnp.ndarray:
     """Unified prefill+decode attention over the paged cache → [T, Hq, D]."""
-    if _use_pallas():
+    if _use_pallas() and _pallas_supported(q, kv_cache, meta):
         from .paged_attention import ragged_paged_attention_pallas
 
         return ragged_paged_attention_pallas(
             q,
-            k_cache,
-            v_cache,
+            kv_cache,
             meta,
             scale=scale,
             sliding_window=sliding_window,
@@ -108,8 +120,8 @@ def ragged_paged_attention(
         )
     return reference.ragged_paged_attention_xla(
         q,
-        k_cache,
-        v_cache,
+        kv_cache[:, 0],
+        kv_cache[:, 1],
         meta.block_tables,
         meta.seq_lens,
         meta.query_start_loc,

@@ -6,16 +6,17 @@ TPU-native replacements for the reference's cache kernels
 ``copy_blocks_kernel`` (:15-37), and host swap uses ``jax.device_put`` of
 block slices instead of cudaMemcpy H2D/D2H (csrc/src/cache_manager.rs:18-128).
 
-Cache layout (slot-major): ``[num_blocks * block_size, num_kv_heads, head_dim]``
-per layer — page ``p`` occupies rows ``[p·block_size, (p+1)·block_size)``.
-A flat slot index (``block_number·block_size + offset``, the reference's
-slot_mapping contract, worker.rs:373-401) addresses a row directly, making the
-cache write a single XLA scatter that fuses with the surrounding ops.
+Cache layout (slot-major, K/V fused): ``[num_blocks * block_size, 2, Hk, D]``
+per layer — page ``p`` occupies rows ``[p·block_size, (p+1)·block_size)``;
+index 0/1 of axis 1 selects K/V. Fusing K and V into one array halves the
+number of DMA descriptors the paged-attention kernel issues per page (the
+kernel's bottleneck at small pages) and makes the cache write a single XLA
+scatter. A flat slot index (``block_number·block_size + offset``, the
+reference's slot_mapping contract, worker.rs:373-401) addresses a row
+directly.
 """
 
 from __future__ import annotations
-
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,33 +34,26 @@ def _dropped_pad(indices: jnp.ndarray) -> jnp.ndarray:
 
 
 def write_kv_cache(
-    k_cache: jnp.ndarray,  # [num_slots, num_kv_heads, head_dim]
-    v_cache: jnp.ndarray,
-    k_new: jnp.ndarray,    # [num_tokens, num_kv_heads, head_dim]
+    kv_cache: jnp.ndarray,  # [num_slots, 2, num_kv_heads, head_dim]
+    k_new: jnp.ndarray,     # [num_tokens, num_kv_heads, head_dim]
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,  # [num_tokens] int32, PAD_SLOT_ID for padding
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Scatter this step's K/V rows into their assigned slots."""
+) -> jnp.ndarray:
+    """Scatter this step's K/V rows into their assigned slots (one scatter)."""
     slots = _dropped_pad(slot_mapping)
-    k_cache = k_cache.at[slots].set(
-        k_new.astype(k_cache.dtype), mode="drop", indices_are_sorted=False
-    )
-    v_cache = v_cache.at[slots].set(
-        v_new.astype(v_cache.dtype), mode="drop", indices_are_sorted=False
-    )
-    return k_cache, v_cache
+    kv_new = jnp.stack([k_new, v_new], axis=1).astype(kv_cache.dtype)
+    return kv_cache.at[slots].set(kv_new, mode="drop", indices_are_sorted=False)
 
 
 def copy_blocks(
-    k_cache: jnp.ndarray,  # [num_layers, num_slots, num_kv_heads, head_dim]
-    v_cache: jnp.ndarray,
+    kv_cache: jnp.ndarray,  # [num_layers, num_slots, 2, Hk, D]
     copy_pairs: jnp.ndarray,  # [max_pairs, 2] int32 (src_block, dst_block), -1 pad
     block_size: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> jnp.ndarray:
     """Copy-on-write block duplication across all layers on device.
 
     Gathers source block rows and scatters them to destination rows in one
-    fused op per cache (ref: cache_manager.cu:15-37 grid=(layers, pairs)).
+    fused op (ref: cache_manager.cu:15-37 grid=(layers, pairs)).
     """
     offsets = jnp.arange(block_size, dtype=jnp.int32)
     src_rows = (copy_pairs[:, 0:1] * block_size + offsets[None, :]).reshape(-1)
@@ -70,16 +64,14 @@ def copy_blocks(
         jnp.where(copy_pairs[:, 1:2].repeat(block_size, 1).reshape(-1) < 0,
                   -1, dst_rows)
     )
-    k_cache = k_cache.at[:, dst_rows].set(k_cache[:, src_rows], mode="drop")
-    v_cache = v_cache.at[:, dst_rows].set(v_cache[:, src_rows], mode="drop")
-    return k_cache, v_cache
+    return kv_cache.at[:, dst_rows].set(kv_cache[:, src_rows], mode="drop")
 
 
 def gather_blocks(cache: jnp.ndarray, block_ids, block_size: int) -> jnp.ndarray:
     """Pull whole blocks off the device (host-swap-out read side).
 
-    ``cache``: [num_layers, num_slots, H, D]; returns
-    [num_layers, len(block_ids)·block_size, H, D].
+    ``cache``: [num_layers, num_slots, ...]; returns
+    [num_layers, len(block_ids)·block_size, ...].
     """
     block_ids = jnp.asarray(block_ids, dtype=jnp.int32)
     offsets = jnp.arange(block_size, dtype=jnp.int32)
@@ -99,7 +91,7 @@ def scatter_blocks(
 
 # Jitted entry points (donated caches → in-place updates on TPU).
 copy_blocks_jit = jax.jit(
-    copy_blocks, static_argnames=("block_size",), donate_argnums=(0, 1)
+    copy_blocks, static_argnames=("block_size",), donate_argnums=(0,)
 )
 scatter_blocks_jit = jax.jit(
     scatter_blocks, static_argnames=("block_size",), donate_argnums=(0,)

@@ -1,0 +1,333 @@
+"""Pallas TPU ragged paged-attention kernel.
+
+The TPU-native replacement for the reference's three CUDA attention paths —
+``flash_attn_varlen`` (prefill), ``flash_attn_varlen_with_block_table``
+(prefix prefill) and ``flash_attn_kv_cache_full`` (split-KV decode)
+(ref: csrc/src/lib.rs:1160,1392,2083; csrc/kernels/flash_fwd_kernel.h) —
+expressed as ONE kernel: every query token attends causally to its sequence's
+paged KV prefix.
+
+Design (TPU-first, not a port):
+- A host-side *work list* of (sequence, query-block) entries replaces the
+  reference's split-KV occupancy heuristic (csrc/src/lib.rs:2122-2199). Each
+  grid step owns a block of BQ query rows from one sequence; decode sequences
+  (1 query token) and prefill chunks (hundreds) use the same code path at
+  different BQ.
+- KV pages are DMA'd HBM→VMEM one page per descriptor with double buffering
+  across page-group chunks, the Pallas analog of FA2's cp.async pipelining.
+  Block tables live in SMEM via scalar prefetch (the "block table in SMEM"
+  pattern the survey calls out, SURVEY.md §2.4).
+- Queries and outputs are *entry-major* ``[W, BQ, heads·head_dim]`` windows,
+  gathered/scattered by XLA around the kernel: every kernel DMA is statically
+  tile-aligned (ragged row offsets are not), entry output windows are
+  disjoint, and the lane dim heads·D is a 128 multiple (Mosaic requires
+  lane-aligned DMA slices). Head separation is value-level lane slicing —
+  lane→sublane reshapes are unsupported by Mosaic.
+- Online-softmax (m, l, acc) flash recurrence in f32; GQA groups q heads
+  [h·G, (h+1)·G) onto kv head h, sharing each K/V chunk slice across the
+  group's score/PV matmuls.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import AttentionMetadata
+
+NEG_INF = -2.0e30
+
+
+def _pick_block_q(num_tokens: int) -> int:
+    for bq in (128, 64, 32, 16, 8):
+        if num_tokens % bq == 0:
+            return bq
+    raise ValueError(f"token count {num_tokens} must be a multiple of 8")
+
+
+def build_work_list(
+    query_start_loc: jnp.ndarray,  # [S+1] int32
+    num_seqs: jnp.ndarray,         # [] int32
+    *,
+    block_q: int,
+    num_entries: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flatten the ragged batch into (seq, q_block) grid entries.
+
+    Returns ``entry_seq`` / ``entry_qblock`` of static length ``num_entries``
+    (inactive tail entries have ``entry_seq == -1``) plus the per-sequence
+    entry offsets ``offs`` [S+1].
+    """
+    num_slots = query_start_loc.shape[0] - 1
+    q_lens = query_start_loc[1:] - query_start_loc[:-1]
+    active = jnp.arange(num_slots, dtype=jnp.int32) < num_seqs
+    nblocks = jnp.where(active, pl.cdiv(q_lens, block_q), 0)
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(nblocks, dtype=jnp.int32)]
+    )
+    eids = jnp.arange(num_entries, dtype=jnp.int32)
+    seq = jnp.searchsorted(offs, eids, side="right").astype(jnp.int32) - 1
+    seq = jnp.clip(seq, 0, num_slots - 1)
+    qblock = eids - offs[seq]
+    valid = eids < offs[num_slots]
+    return jnp.where(valid, seq, -1), jnp.where(valid, qblock, 0), offs
+
+
+def _kernel(
+    # scalar prefetch (SMEM)
+    entry_seq_ref,    # [W]
+    entry_qb_ref,     # [W]
+    block_tables_ref, # [S, P]
+    seq_lens_ref,     # [S]
+    qsl_ref,          # [S+1]
+    # tensor refs (HBM; q/o are entry-major so every DMA is tile-aligned)
+    q_hbm,            # [W, BQ, Hq*D]
+    kv_hbm,           # [num_slots, 2*Hk*D] (K lanes first, then V)
+    o_hbm,            # [W, BQ, Hq*D]
+    # scratch
+    q_vmem,           # [BQ, Hq*D]
+    kv_vmem,          # [2, CHUNK, 2*Hk*D]
+    o_vmem,           # [BQ, Hq*D]
+    q_sem,
+    kv_sems,          # DMA sems [2]
+    o_sem,
+    *,
+    scale: float,
+    num_q_heads: int,
+    num_kv_heads: int,
+    head_dim: int,
+    block_q: int,
+    block_size: int,
+    pages_per_chunk: int,
+    sliding_window: Optional[int],
+    soft_cap: Optional[float],
+):
+    e = pl.program_id(0)
+    s = entry_seq_ref[e]
+    active = s >= 0
+    s = jnp.maximum(s, 0)
+    b = entry_qb_ref[e]
+
+    BQ = block_q
+    CP = pages_per_chunk
+    CHUNK = CP * block_size
+    num_pages = block_tables_ref.shape[1]
+    max_page = kv_hbm.shape[0] // block_size - 1
+    Hq, Hk, D = num_q_heads, num_kv_heads, head_dim
+    G = Hq // Hk
+
+    q_start = qsl_ref[s]
+    q_len = qsl_ref[s + 1] - q_start
+    kv_len = seq_lens_ref[s]
+
+    def page_dma(buf, chunk, p):
+        idx = jnp.minimum(chunk * CP + p, num_pages - 1)
+        page = jnp.clip(block_tables_ref[s, idx], 0, max_page)
+        return pltpu.make_async_copy(
+            kv_hbm.at[pl.ds(page * block_size, block_size)],
+            kv_vmem.at[buf, pl.ds(p * block_size, block_size)],
+            kv_sems.at[buf],
+        )
+
+    def start_chunk(buf, chunk):
+        for p in range(CP):
+            page_dma(buf, chunk, p).start()
+
+    def wait_chunk(buf, chunk):
+        for p in range(CP):
+            page_dma(buf, chunk, p).wait()
+
+    @pl.when(active)
+    def _():
+        q_dma = pltpu.make_async_copy(q_hbm.at[e], q_vmem, q_sem)
+        q_dma.start()
+        start_chunk(0, 0)
+
+        nc = pl.cdiv(kv_len, CHUNK)
+        q_dma.wait()
+
+        # Per-q-head query slabs [BQ, D]; head qh occupies lanes [qh·D, +D).
+        # (Mosaic handles lane slices at D offsets; lane→sublane reshapes are
+        # not supported, so heads stay a python loop of 2D slices.)
+        q_all = q_vmem[...]
+        qs = [q_all[:, qh * D : (qh + 1) * D] for qh in range(Hq)]
+
+        # Absolute key position each query row may attend up to.
+        row_query = jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+        pos = kv_len - q_len + b * BQ + row_query  # [BQ, 1]
+
+        def chunk_body(j, carry):
+            buf = j % 2
+
+            @pl.when(j + 1 < nc)
+            def _():
+                start_chunk((j + 1) % 2, j + 1)
+
+            wait_chunk(buf, j)
+
+            kv_all = kv_vmem[buf]
+
+            col = j * CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (1, CHUNK), 1
+            )
+            mask = (col <= pos) & (col < kv_len)  # [BQ, CHUNK]
+            if sliding_window is not None:
+                mask &= col > pos - sliding_window
+
+            new_carry = []
+            for h in range(Hk):
+                kh = kv_all[:, h * D : (h + 1) * D]  # [CHUNK, D]
+                vh = kv_all[:, Hk * D + h * D : Hk * D + (h + 1) * D]
+                for g in range(G):
+                    qh = h * G + g
+                    m, l, acc = carry[qh]
+                    sc = (
+                        jax.lax.dot_general(
+                            qs[qh],
+                            kh,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        * scale
+                    )  # [BQ, CHUNK]
+                    if soft_cap is not None:
+                        sc = soft_cap * jnp.tanh(sc / soft_cap)
+                    sc = jnp.where(mask, sc, NEG_INF)
+                    m_new = jnp.maximum(
+                        m, jnp.max(sc, axis=-1, keepdims=True)
+                    )
+                    p_ = jnp.exp(sc - m_new)
+                    alpha = jnp.exp(m - m_new)
+                    l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+                    acc_new = acc * alpha + jax.lax.dot_general(
+                        p_.astype(vh.dtype),
+                        vh,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [BQ, D]
+                    new_carry.append((m_new, l_new, acc_new))
+            return tuple(new_carry)
+
+        init = tuple(
+            (
+                jnp.full((BQ, 1), NEG_INF, jnp.float32),
+                jnp.zeros((BQ, 1), jnp.float32),
+                jnp.zeros((BQ, D), jnp.float32),
+            )
+            for _ in range(Hq)
+        )
+        carry = jax.lax.fori_loop(0, nc, chunk_body, init)
+
+        for qh in range(Hq):
+            _, l, acc = carry[qh]
+            o_vmem[:, qh * D : (qh + 1) * D] = (
+                acc / jnp.maximum(l, 1e-30)
+            ).astype(o_vmem.dtype)
+
+        o_dma = pltpu.make_async_copy(o_vmem, o_hbm.at[e], o_sem)
+        o_dma.start()
+        o_dma.wait()
+
+
+def ragged_paged_attention_pallas(
+    q: jnp.ndarray,         # [T, Hq, D]
+    kv_cache: jnp.ndarray,  # [num_slots, 2, Hk, D] (K/V fused per slot)
+    meta: AttentionMetadata,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    block_q: Optional[int] = None,
+    pages_per_chunk: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Unified prefill+decode paged attention on TPU. Returns [T, Hq, D]."""
+    T, Hq, D = q.shape
+    num_slots, _, Hk, _ = kv_cache.shape
+    S = meta.seq_lens.shape[0]
+    P = meta.block_tables.shape[1]
+    bs = meta.block_size
+    BQ = block_q or _pick_block_q(T)
+    CP = pages_per_chunk or max(1, 512 // bs)
+    CP = min(CP, P)
+    W = T // BQ + S  # worst-case (seq, q_block) entries
+
+    qsl = meta.query_start_loc
+    entry_seq, entry_qb, offs = build_work_list(
+        qsl, meta.num_seqs, block_q=BQ, num_entries=W
+    )
+
+    # Entry-major q windows [W, BQ, Hq*D]: every kernel DMA is then statically
+    # tile-aligned (arbitrary ragged row offsets are not), and entry output
+    # windows are disjoint. 2D lane dim Hq*D keeps DMAs 128-aligned.
+    q2 = q.reshape(T, Hq * D)
+    kv2 = kv_cache.reshape(num_slots, 2 * Hk * D)
+
+    base_row = qsl[jnp.clip(entry_seq, 0, S - 1)] + entry_qb * BQ  # [W]
+    row_idx = base_row[:, None] + jnp.arange(BQ, dtype=jnp.int32)[None, :]
+    row_idx = jnp.clip(row_idx, 0, T - 1)
+    q_entries = q2[row_idx]  # [W, BQ, Hq*D]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q entries
+            pl.BlockSpec(memory_space=pl.ANY),  # fused kv cache
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((BQ, Hq * D), q.dtype),  # q entry window
+            pltpu.VMEM((2, CP * bs, 2 * Hk * D), kv_cache.dtype),
+            pltpu.VMEM((BQ, Hq * D), q.dtype),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    kernel = functools.partial(
+        _kernel,
+        scale=scale,
+        num_q_heads=Hq,
+        num_kv_heads=Hk,
+        head_dim=D,
+        block_q=BQ,
+        block_size=bs,
+        pages_per_chunk=CP,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+    )
+
+    out_entries = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((W, BQ, Hq * D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        entry_seq,
+        entry_qb,
+        meta.block_tables,
+        meta.seq_lens,
+        qsl,
+        q_entries,
+        kv2,
+    )
+
+    # Reassemble token-major output from the disjoint entry windows.
+    t = jnp.arange(T, dtype=jnp.int32)
+    s_t = jnp.clip(
+        jnp.searchsorted(qsl, t, side="right").astype(jnp.int32) - 1, 0, S - 1
+    )
+    qoff = t - qsl[s_t]
+    ent = jnp.clip(offs[s_t] + qoff // BQ, 0, W - 1)
+    out = out_entries[ent, qoff % BQ]  # [T, Hq*D]
+    return out.reshape(T, Hq, D)

@@ -28,12 +28,12 @@ def _rand(key, shape, dtype=jnp.float32):
 
 
 def _build_paged_cache(keys_list, values_list, num_blocks, rng, shuffle=True):
-    """Scatter per-seq K/V into a paged cache with (optionally random) block
-    assignment. Returns (k_cache, v_cache, block_tables, seq_lens)."""
+    """Scatter per-seq K/V into a fused paged cache with (optionally random)
+    block assignment. Returns (k_cache, v_cache, block_tables, seq_lens) where
+    k/v are views of the fused [slots, 2, H, D] array."""
     num_kv_heads, head_dim = keys_list[0].shape[1:]
     num_slots = num_blocks * BLOCK_SIZE
-    k_cache = jnp.zeros((num_slots, num_kv_heads, head_dim))
-    v_cache = jnp.zeros((num_slots, num_kv_heads, head_dim))
+    kv_cache = jnp.zeros((num_slots, 2, num_kv_heads, head_dim))
     free = list(range(num_blocks))
     if shuffle:
         rng.shuffle(free)
@@ -48,11 +48,11 @@ def _build_paged_cache(keys_list, values_list, num_blocks, rng, shuffle=True):
              for i in range(seq_len)],
             dtype=jnp.int32,
         )
-        k_cache, v_cache = write_kv_cache(k_cache, v_cache, k, v, slots)
+        kv_cache = write_kv_cache(kv_cache, k, v, slots)
         tables.append(pages + [0] * (max_pages - n_pages))
     block_tables = jnp.asarray(tables, dtype=jnp.int32)
     seq_lens = jnp.asarray([k.shape[0] for k in keys_list], dtype=jnp.int32)
-    return k_cache, v_cache, block_tables, seq_lens
+    return kv_cache[:, 0], kv_cache[:, 1], block_tables, seq_lens
 
 
 @pytest.mark.parametrize("num_q_heads,num_kv_heads", [(4, 4), (8, 2)])
@@ -174,33 +174,28 @@ def test_sliding_window_mask():
 
 
 def test_write_kv_cache_drops_padding():
-    k_cache = jnp.zeros((32, 2, 8))
-    v_cache = jnp.zeros((32, 2, 8))
+    kv_cache = jnp.zeros((32, 2, 2, 8))
     k_new = jnp.ones((4, 2, 8))
     v_new = 2 * jnp.ones((4, 2, 8))
     slots = jnp.asarray([3, 17, -1, -1], dtype=jnp.int32)
-    k_cache, v_cache = write_kv_cache(k_cache, v_cache, k_new, v_new, slots)
-    assert float(k_cache[3].sum()) == 16.0
-    assert float(k_cache[17].sum()) == 16.0
-    assert float(k_cache.sum()) == 32.0  # nothing else written
-    assert float(v_cache.sum()) == 64.0
+    kv_cache = write_kv_cache(kv_cache, k_new, v_new, slots)
+    assert float(kv_cache[3, 0].sum()) == 16.0
+    assert float(kv_cache[17, 0].sum()) == 16.0
+    assert float(kv_cache[:, 0].sum()) == 32.0  # nothing else written
+    assert float(kv_cache[:, 1].sum()) == 64.0
 
 
 def test_copy_blocks():
     L, nblocks, H, D = 2, 4, 2, 8
-    k = jnp.arange(L * nblocks * BLOCK_SIZE * H * D, dtype=jnp.float32).reshape(
-        L, nblocks * BLOCK_SIZE, H, D
-    )
-    v = -k
+    kv = jnp.arange(
+        L * nblocks * BLOCK_SIZE * 2 * H * D, dtype=jnp.float32
+    ).reshape(L, nblocks * BLOCK_SIZE, 2, H, D)
     pairs = jnp.asarray([[0, 3], [-1, -1]], dtype=jnp.int32)
-    k2, v2 = copy_blocks(k, v, pairs, BLOCK_SIZE)
+    kv2 = copy_blocks(kv, pairs, BLOCK_SIZE)
     np.testing.assert_array_equal(
-        k2[:, 3 * BLOCK_SIZE : 4 * BLOCK_SIZE], k[:, 0:BLOCK_SIZE]
-    )
-    np.testing.assert_array_equal(
-        v2[:, 3 * BLOCK_SIZE : 4 * BLOCK_SIZE], v[:, 0:BLOCK_SIZE]
+        kv2[:, 3 * BLOCK_SIZE : 4 * BLOCK_SIZE], kv[:, 0:BLOCK_SIZE]
     )
     # Block 1 and 2 untouched.
     np.testing.assert_array_equal(
-        k2[:, BLOCK_SIZE : 3 * BLOCK_SIZE], k[:, BLOCK_SIZE : 3 * BLOCK_SIZE]
+        kv2[:, BLOCK_SIZE : 3 * BLOCK_SIZE], kv[:, BLOCK_SIZE : 3 * BLOCK_SIZE]
     )

@@ -94,16 +94,14 @@ def test_prefill_logits_match_hf(tiny_hf_model):
         hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
 
     num_blocks = 8
-    k_cache = jnp.zeros((cfg.num_layers, num_blocks * BLOCK_SIZE,
-                         cfg.num_kv_heads, cfg.head_dim), dtype=jnp.float32)
-    v_cache = jnp.zeros_like(k_cache)
+    kv_cache = jnp.zeros((cfg.num_layers, num_blocks * BLOCK_SIZE, 2,
+                          cfg.num_kv_heads, cfg.head_dim), dtype=jnp.float32)
     meta = make_meta([T], [T], [[3, 5]])  # non-contiguous pages on purpose
-    hidden, k_cache, v_cache = model.forward(
+    hidden, kv_cache = model.forward(
         params,
         jnp.asarray(token_ids, dtype=jnp.int32),
         jnp.arange(T, dtype=jnp.int32),
-        k_cache,
-        v_cache,
+        kv_cache,
         meta,
     )
     logits = model.compute_logits(params, hidden)  # all positions
@@ -122,30 +120,31 @@ def test_decode_matches_prefill(tiny_hf_model):
     rng = np.random.RandomState(1)
     token_ids = rng.randint(0, TINY_CFG["vocab_size"], size=T)
     num_blocks = 8
-    shape = (cfg.num_layers, num_blocks * BLOCK_SIZE, cfg.num_kv_heads, cfg.head_dim)
+    shape = (cfg.num_layers, num_blocks * BLOCK_SIZE, 2, cfg.num_kv_heads,
+             cfg.head_dim)
 
     # Full prefill in one go.
-    k1, v1 = jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+    kv1 = jnp.zeros(shape, jnp.float32)
     meta = make_meta([T], [T], [[2, 6]])
-    hidden_full, _, _ = model.forward(
+    hidden_full, _ = model.forward(
         params, jnp.asarray(token_ids, jnp.int32), jnp.arange(T, dtype=jnp.int32),
-        k1, v1, meta,
+        kv1, meta,
     )
     logits_full = model.compute_logits(params, hidden_full)
 
     # Prefill the first 5, then decode the rest one token at a time.
-    k2, v2 = jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+    kv2 = jnp.zeros(shape, jnp.float32)
     meta_p = make_meta([5], [5], [[2, 6]])
-    hidden, k2, v2 = model.forward(
+    hidden, kv2 = model.forward(
         params, jnp.asarray(token_ids[:5], jnp.int32),
-        jnp.arange(5, dtype=jnp.int32), k2, v2, meta_p,
+        jnp.arange(5, dtype=jnp.int32), kv2, meta_p,
     )
     last_logits = None
     for t in range(5, T):
         meta_d = make_meta([t + 1], [1], [[2, 6]])
-        hidden, k2, v2 = model.forward(
+        hidden, kv2 = model.forward(
             params, jnp.asarray(token_ids[t : t + 1], jnp.int32),
-            jnp.asarray([t], dtype=jnp.int32), k2, v2, meta_d,
+            jnp.asarray([t], dtype=jnp.int32), kv2, meta_d,
         )
         last_logits = model.compute_logits(params, hidden)
     np.testing.assert_allclose(
@@ -186,13 +185,12 @@ def test_llama3_rope_scaling_matches_hf(tmp_path):
     with torch.no_grad():
         hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
 
-    k = jnp.zeros((cfg.num_layers, 8 * BLOCK_SIZE, cfg.num_kv_heads,
-                   cfg.head_dim), jnp.float32)
-    v = jnp.zeros_like(k)
+    kv = jnp.zeros((cfg.num_layers, 8 * BLOCK_SIZE, 2, cfg.num_kv_heads,
+                    cfg.head_dim), jnp.float32)
     meta = make_meta([T], [T], [[0, 1, 2, 7]])
-    hidden, _, _ = model.forward(
+    hidden, _ = model.forward(
         params, jnp.asarray(token_ids, jnp.int32),
-        jnp.arange(T, dtype=jnp.int32), k, v, meta,
+        jnp.arange(T, dtype=jnp.int32), kv, meta,
     )
     logits = model.compute_logits(params, hidden)
     np.testing.assert_allclose(np.asarray(logits), hf_logits, atol=3e-4, rtol=3e-4)

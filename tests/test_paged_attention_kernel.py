@@ -1,0 +1,213 @@
+"""Pallas ragged paged-attention kernel vs the pure-XLA oracle.
+
+Analog of the reference's kernel-vs-oracle golden tests
+(csrc/tests/flash_attn_tests.rs:19-95), run in Pallas interpret mode on CPU
+(SURVEY.md §4 takeaway (c)). Random physical block order everywhere — the
+block-table-indirection correctness property the reference proves with its
+random-block-order decode test (models/src/llama.rs:506+).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from atoma_infer_tpu.ops.attention import AttentionMetadata
+from atoma_infer_tpu.ops.paged_attention import (
+    build_work_list,
+    ragged_paged_attention_pallas,
+)
+from atoma_infer_tpu.ops.reference import ragged_paged_attention_xla
+
+
+def make_case(
+    rng,
+    *,
+    seq_specs,  # list of (q_len, kv_len)
+    num_q_heads=8,
+    num_kv_heads=4,
+    head_dim=64,
+    block_size=16,
+    num_blocks=64,
+    pad_tokens_to=8,
+    pad_seqs_to=None,
+    dtype=jnp.float32,
+):
+    S = pad_seqs_to or len(seq_specs)
+    total_q = sum(q for q, _ in seq_specs)
+    T = -(-total_q // pad_tokens_to) * pad_tokens_to
+    max_pages = max(-(-kv // block_size) for _, kv in seq_specs)
+    P = max(max_pages, 2)
+
+    # Random disjoint physical pages per sequence.
+    perm = rng.permutation(num_blocks)
+    block_tables = np.zeros((S, P), dtype=np.int32)
+    used = 0
+    for i, (_, kv_len) in enumerate(seq_specs):
+        n = -(-kv_len // block_size)
+        block_tables[i, :n] = perm[used : used + n]
+        used += n
+        assert used <= num_blocks
+
+    seq_lens = np.zeros((S,), dtype=np.int32)
+    qsl = np.zeros((S + 1,), dtype=np.int32)
+    for i, (q_len, kv_len) in enumerate(seq_specs):
+        seq_lens[i] = kv_len
+        qsl[i + 1] = qsl[i] + q_len
+    qsl[len(seq_specs) + 1 :] = qsl[len(seq_specs)]
+
+    num_slots = num_blocks * block_size
+    q = rng.standard_normal((T, num_q_heads, head_dim)).astype(np.float32)
+    kv_cache = rng.standard_normal(
+        (num_slots, 2, num_kv_heads, head_dim)
+    ).astype(np.float32)
+
+    meta = AttentionMetadata(
+        slot_mapping=jnp.full((T,), -1, jnp.int32),
+        block_tables=jnp.asarray(block_tables),
+        seq_lens=jnp.asarray(seq_lens),
+        query_start_loc=jnp.asarray(qsl),
+        num_seqs=jnp.asarray(len(seq_specs), jnp.int32),
+        block_size=block_size,
+    )
+    return (
+        jnp.asarray(q, dtype),
+        jnp.asarray(kv_cache, dtype),
+        meta,
+    )
+
+
+def run_both(q, kv_cache, meta, **kw):
+    scale = q.shape[-1] ** -0.5
+    got = ragged_paged_attention_pallas(
+        q, kv_cache, meta, scale=scale, interpret=True, **kw
+    )
+    want = ragged_paged_attention_xla(
+        q,
+        kv_cache[:, 0],
+        kv_cache[:, 1],
+        meta.block_tables,
+        meta.seq_lens,
+        meta.query_start_loc,
+        scale=scale,
+        block_size=meta.block_size,
+        sliding_window=kw.get("sliding_window"),
+        soft_cap=kw.get("soft_cap"),
+    )
+    return np.asarray(got), np.asarray(want)
+
+
+def assert_close(got, want, qsl, atol=2e-2):
+    # Compare only real token rows (padding rows are garbage by contract).
+    total = int(qsl[-1])
+    np.testing.assert_allclose(got[:total], want[:total], atol=atol, rtol=1e-2)
+
+
+class TestPagedAttentionKernel:
+    def test_single_prefill(self):
+        rng = np.random.default_rng(0)
+        q, kv, meta = make_case(rng, seq_specs=[(64, 64)])
+        got, want = run_both(q, kv, meta)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_decode_batch(self):
+        rng = np.random.default_rng(1)
+        specs = [(1, kv) for kv in (1, 5, 16, 17, 64, 128, 33)]
+        q, kv, meta = make_case(
+            rng, seq_specs=specs, num_blocks=32, pad_seqs_to=8
+        )
+        got, want = run_both(q, kv, meta)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_mixed_prefill_decode(self):
+        rng = np.random.default_rng(2)
+        # Prefill-first batch layout (ref: flash_attention.rs:156-174).
+        specs = [(40, 40), (21, 21), (1, 7), (1, 50), (1, 1)]
+        q, kv, meta = make_case(
+            rng, seq_specs=specs, num_blocks=32, pad_seqs_to=8
+        )
+        got, want = run_both(q, kv, meta)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_chunked_prefill_continuation(self):
+        rng = np.random.default_rng(3)
+        # q_len < kv_len: later chunk of a chunked prefill attends to the
+        # previously computed prefix (ref: scheduler.rs chunked prefill).
+        specs = [(16, 48), (8, 100)]
+        q, kv, meta = make_case(rng, seq_specs=specs, num_blocks=16)
+        got, want = run_both(q, kv, meta)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_gqa_and_mha(self):
+        rng = np.random.default_rng(4)
+        for hq, hk in ((8, 8), (8, 2), (4, 1)):
+            q, kv, meta = make_case(
+                rng,
+                seq_specs=[(24, 24), (1, 31)],
+                num_q_heads=hq,
+                num_kv_heads=hk,
+                num_blocks=16,
+            )
+            got, want = run_both(q, kv, meta)
+            assert_close(got, want, meta.query_start_loc)
+
+    def test_sliding_window(self):
+        rng = np.random.default_rng(5)
+        q, kv, meta = make_case(rng, seq_specs=[(64, 64), (1, 90)], num_blocks=16)
+        got, want = run_both(q, kv, meta, sliding_window=24)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_soft_cap(self):
+        rng = np.random.default_rng(6)
+        q, kv, meta = make_case(rng, seq_specs=[(32, 32)], num_blocks=8)
+        got, want = run_both(q, kv, meta, soft_cap=30.0)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_long_kv_multiple_chunks(self):
+        rng = np.random.default_rng(7)
+        # kv spans > pages_per_chunk pages → exercises the chunk loop + DMA
+        # double buffering.
+        q, kv, meta = make_case(
+            rng,
+            seq_specs=[(8, 1000)],
+            num_blocks=64,
+            block_size=16,
+        )
+        got, want = run_both(q, kv, meta, pages_per_chunk=4)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_padding_seqs_ignored(self):
+        rng = np.random.default_rng(8)
+        q, kv, meta = make_case(
+            rng, seq_specs=[(1, 9)], pad_seqs_to=4, num_blocks=8
+        )
+        got, want = run_both(q, kv, meta)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_bf16(self):
+        rng = np.random.default_rng(9)
+        q, kv, meta = make_case(
+            rng, seq_specs=[(32, 32), (1, 20)], dtype=jnp.bfloat16, num_blocks=16
+        )
+        got, want = run_both(q, kv, meta)
+        total = int(meta.query_start_loc[-1])
+        np.testing.assert_allclose(
+            got[:total].astype(np.float32),
+            want[:total].astype(np.float32),
+            atol=8e-2,
+            rtol=5e-2,
+        )
+
+
+class TestWorkList:
+    def test_build(self):
+        qsl = jnp.asarray([0, 3, 4, 260, 260], jnp.int32)
+        seq, qb, offs = build_work_list(
+            qsl, jnp.asarray(3, jnp.int32), block_q=128, num_entries=8
+        )
+        seq, qb = np.asarray(seq), np.asarray(qb)
+        # seq0: 3 tokens → 1 block; seq1: 1 → 1; seq2: 256 → 2; seq3 inactive.
+        assert list(seq[:4]) == [0, 1, 2, 2]
+        assert list(qb[:4]) == [0, 0, 0, 1]
+        assert all(s == -1 for s in seq[4:])
+        assert list(np.asarray(offs)) == [0, 1, 2, 4, 4]
