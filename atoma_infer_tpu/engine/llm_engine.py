@@ -1,0 +1,311 @@
+"""Continuous-batching engine event loop.
+
+Ref: backends/vllm/src/llm_engine.rs — the ``tokio::select!`` loop over new
+requests + model outputs (:96-133), the 100 ms batching delay when idle
+(:31,121-124), ``step()`` scheduling + dispatch (:216-245), output processing
+(sequence updates, incremental detokenize, stop-string/EOS/length checks,
+:326-501), streaming chunks (:404-424) and liveness on errors (:195-200).
+
+Here the loop is asyncio in one process: the worker call runs in a thread
+executor so the event loop keeps admitting requests while the TPU computes —
+the analog of the reference's engine-thread/model-thread split without the
+per-GPU thread pool (SPMD replaces it).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import dataclasses
+import logging
+import time
+from typing import Dict, List, Optional
+
+from ..sequence import (
+    ExecuteModelRequest,
+    RequestMetrics,
+    Sequence,
+    SequenceGroup,
+    SequenceGroupOutput,
+    SequenceStatus,
+)
+from .detokenizer import Detokenizer
+from .worker import ModelWorker
+
+logger = logging.getLogger(__name__)
+
+# Batching delay while idle, letting the waiting queue fill
+# (ref: llm_engine.rs:31 STREAMING_DELAY... 100ms batching delay :121-124).
+IDLE_BATCHING_DELAY_S = 0.1
+
+
+@dataclasses.dataclass
+class InferenceOutput:
+    """One finished sequence (ref: llm_engine.rs ``InferenceOutput``)."""
+
+    seq_id: int
+    output_text: str
+    token_ids: List[int]
+    cumulative_logprob: float
+    logprobs: List[float]
+    finish_reason: Optional[str]
+    stop_reason: Optional[object] = None
+
+
+@dataclasses.dataclass
+class GenerateRequestOutput:
+    """Final response for a request (ref: llm_engine.rs:326-336)."""
+
+    request_id: str
+    inputs: str
+    prompt_token_ids: List[int]
+    outputs: List[InferenceOutput]
+    metrics: RequestMetrics
+
+
+@dataclasses.dataclass
+class StreamChunk:
+    """One streamed token chunk (ref: llm_engine.rs StreamResponse::Chunk)."""
+
+    request_id: str
+    text: str           # newly generated text this step
+    full_text: str      # text so far
+    token_id: int
+    logprob: float
+    finished: bool = False
+    finish_reason: Optional[str] = None
+
+
+class LlmEngine:
+    """The continuous-batching engine (ref: llm_engine.rs:61-245)."""
+
+    def __init__(
+        self,
+        scheduler,
+        worker: ModelWorker,
+        tokenizer,
+        eos_token_ids,
+        max_model_len: int,
+    ):
+        self.scheduler = scheduler
+        self.worker = worker
+        self.detokenizer = Detokenizer(tokenizer)
+        self.eos_token_ids = set(
+            eos_token_ids if isinstance(eos_token_ids, (list, tuple, set))
+            else [eos_token_ids]
+        )
+        self.max_model_len = max_model_len
+        # request_id → (group, response future, optional stream queue)
+        self._groups: Dict[str, SequenceGroup] = {}
+        self._response_futures: Dict[str, asyncio.Future] = {}
+        self._stream_queues: Dict[str, asyncio.Queue] = {}
+        self._new_requests: asyncio.Queue = asyncio.Queue()
+        self._stopping = False
+        # Captured by run(); step() may execute on a worker thread, so all
+        # queue/future completions hop through call_soon_threadsafe.
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+
+    # -------------------------------------------------------------- admission
+    def add_request(
+        self,
+        group: SequenceGroup,
+        response_future: Optional[asyncio.Future] = None,
+        stream_queue: Optional[asyncio.Queue] = None,
+    ) -> None:
+        self._groups[group.request_id] = group
+        if response_future is not None:
+            self._response_futures[group.request_id] = response_future
+        if stream_queue is not None:
+            self._stream_queues[group.request_id] = stream_queue
+            group.stream = True
+        self._new_requests.put_nowait(group)
+
+    def abort_request(self, request_id: str) -> bool:
+        """Abort API (routed, unlike the reference's unexposed
+        ``abort_sequence_group`` — SURVEY.md §3.5)."""
+        group = self.scheduler.abort_sequence_group(request_id)
+        if group is None:
+            return False
+        self._finish_group(group)
+        return True
+
+    # ------------------------------------------------------------------- loop
+    async def run(self) -> None:
+        """Event loop: admit → step while work remains (ref: llm_engine.rs:92-133)."""
+        loop = asyncio.get_running_loop()
+        self._loop = loop
+        while not self._stopping:
+            if not self.scheduler.has_unfinished_seqs():
+                group = await self._new_requests.get()
+                if group is None:  # shutdown sentinel
+                    break
+                self.scheduler.add_sequence_group(group)
+                # Batching delay: let more requests arrive (ref :121-124).
+                await asyncio.sleep(IDLE_BATCHING_DELAY_S)
+            self._drain_new_requests()
+            try:
+                await loop.run_in_executor(None, self.step)
+            except Exception:
+                # Keep stepping for liveness (ref: llm_engine.rs:195-200).
+                logger.exception("engine step failed; continuing")
+                await asyncio.sleep(0.05)
+            # Yield so admissions/streams interleave between steps.
+            await asyncio.sleep(0)
+
+    def stop(self) -> None:
+        self._stopping = True
+        self._new_requests.put_nowait(None)
+
+    def _drain_new_requests(self) -> None:
+        while True:
+            try:
+                group = self._new_requests.get_nowait()
+            except asyncio.QueueEmpty:
+                return
+            if group is not None:
+                self.scheduler.add_sequence_group(group)
+
+    # ------------------------------------------------------------------- step
+    def step(self) -> List[GenerateRequestOutput]:
+        """One engine iteration (ref: llm_engine.rs:216-245)."""
+        metadata, outputs = self.scheduler.schedule()
+        for group in outputs.ignored_seq_groups:
+            self._finish_group(group)
+        if not metadata and outputs.is_empty():
+            return []
+
+        request = ExecuteModelRequest(
+            sequence_groups_metadata=metadata,
+            blocks_to_swap_in=outputs.blocks_to_swap_in,
+            blocks_to_swap_out=outputs.blocks_to_swap_out,
+            blocks_to_copy=outputs.blocks_to_copy,
+            running_queue_size=outputs.running_queue_size,
+        )
+        group_outputs = self.worker.execute_model(request)
+        finished = self._process_outputs(metadata, group_outputs)
+        self.scheduler.remove_finished_sequences()
+        return finished
+
+    # ---------------------------------------------------------------- outputs
+    def _process_outputs(
+        self,
+        metadata_list,
+        group_outputs: Dict[str, SequenceGroupOutput],
+    ) -> List[GenerateRequestOutput]:
+        """Update sequences with sampled tokens; detokenize; stop-check; emit
+        stream chunks + finished responses (ref: llm_engine.rs:264-521)."""
+        now = time.monotonic()
+        finished: List[GenerateRequestOutput] = []
+        for meta in metadata_list:
+            group = self._groups.get(meta.request_id)
+            if group is None:
+                # Request of an already-aborted group; drop.
+                continue
+            out = group_outputs.get(meta.request_id)
+            if out is None:
+                continue
+            group.update_num_computed_tokens(meta.token_chunk_size)
+            group.metrics.last_token_time = now
+
+            if not meta.do_sample:
+                continue  # partial chunked prefill: no token this step
+
+            group.maybe_set_first_token_time(now)
+            for seq_id, seq_out in out.outputs.items():
+                seq = group.sequences.get(seq_id)
+                if seq is None or seq.is_finished():
+                    continue
+                self._update_sequence(group, seq, seq_out)
+
+            if group.is_finished():
+                finished.append(self._finish_group(group))
+        return finished
+
+    def _update_sequence(self, group: SequenceGroup, seq: Sequence, seq_out) -> None:
+        """Append token, detokenize, stop checks (ref: llm_engine.rs:367-521)."""
+        seq.append_token_id(seq_out.output_token, seq_out.logprob)
+        new_text = self.detokenizer.decode_sequence_inplace(seq)
+
+        stopping = group.stopping_criteria
+        finish_reason: Optional[str] = None
+
+        # Stop strings: truncate at the earliest stop match
+        # (ref: llm_engine.rs:438-460).
+        for stop_str in stopping.stop_sequences:
+            idx = seq.output_text.find(stop_str)
+            if idx != -1:
+                seq.output_text = seq.output_text[:idx]
+                seq.status = SequenceStatus.FINISHED_STOPPED
+                seq.stop_reason = stop_str
+                finish_reason = "stop_sequence"
+                break
+
+        if finish_reason is None:
+            if (
+                not stopping.ignore_eos_token
+                and seq_out.output_token in self.eos_token_ids
+            ):
+                seq.status = SequenceStatus.FINISHED_STOPPED
+                seq.stop_reason = seq_out.output_token
+                finish_reason = "eos_token"
+            elif seq.get_output_len() >= stopping.max_new_tokens:
+                seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                finish_reason = "length"
+            elif seq.get_len() >= self.max_model_len:
+                seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                finish_reason = "model_length"
+
+        if seq.is_finished():
+            self.scheduler.free_seq(seq)
+
+        queue = self._stream_queues.get(group.request_id)
+        if queue is not None:
+            self._put_threadsafe(
+                queue,
+                StreamChunk(
+                    request_id=group.request_id,
+                    text=new_text,
+                    full_text=seq.output_text,
+                    token_id=seq_out.output_token,
+                    logprob=seq_out.logprob,
+                    finished=seq.is_finished(),
+                    finish_reason=finish_reason,
+                ),
+            )
+
+    def _finish_group(self, group: SequenceGroup) -> GenerateRequestOutput:
+        group.set_finished_time(time.monotonic())
+        first = group.get_first_seq()
+        result = GenerateRequestOutput(
+            request_id=group.request_id,
+            inputs=first.prompt,
+            prompt_token_ids=list(first.sequence_data.prompt_token_ids),
+            outputs=[
+                InferenceOutput(
+                    seq_id=s.seq_id,
+                    output_text=s.output_text,
+                    token_ids=list(s.sequence_data.output_token_ids),
+                    cumulative_logprob=s.get_cumulative_logprob(),
+                    logprobs=[lp.logprob for lp in s.output_logprobs],
+                    finish_reason=s.status.finished_reason,
+                    stop_reason=s.stop_reason,
+                )
+                for s in group.get_seqs()
+            ],
+            metrics=group.metrics,
+        )
+        fut = self._response_futures.pop(group.request_id, None)
+        if fut is not None and not fut.done():
+            fut.get_loop().call_soon_threadsafe(
+                lambda f=fut, r=result: f.done() or f.set_result(r)
+            )
+        queue = self._stream_queues.pop(group.request_id, None)
+        if queue is not None:
+            self._put_threadsafe(queue, None)  # stream terminator
+        self._groups.pop(group.request_id, None)
+        return result
+
+    def _put_threadsafe(self, queue: asyncio.Queue, item) -> None:
+        if self._loop is not None and self._loop.is_running():
+            self._loop.call_soon_threadsafe(queue.put_nowait, item)
+        else:
+            queue.put_nowait(item)

@@ -1,0 +1,219 @@
+"""LLM service: startup orchestration + request admission.
+
+Ref: backends/vllm/src/llm_service.rs — orchestrates startup (model fetch →
+load → profile → engine boot, :116-245), runs the admission loop (validate →
+build Sequence/SequenceGroup with per-request sampling params → forward to
+engine, :318-388), and shutdown (:404-442).
+
+Two-phase startup ordering preserved from the reference (SURVEY.md §3.1): KV
+cache sizing profiles free HBM *after* weights are resident.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import logging
+import os
+import shutil
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig
+from ..core.scheduler import Scheduler
+from ..sequence import Sequence, SequenceGroup
+from ..types import GenerateRequest
+from .cache_engine import CacheEngine
+from .llm_engine import LlmEngine
+from .tokenizer import TokenizerPool
+from .validation import Validation
+from .worker import ModelWorker
+
+logger = logging.getLogger(__name__)
+
+_SEQ_COUNTER = itertools.count()
+
+
+def _load_tokenizer(model_dir: str):
+    from tokenizers import Tokenizer
+
+    path = os.path.join(model_dir, "tokenizer.json")
+    return Tokenizer.from_file(path)
+
+
+def resolve_model_dir(config) -> str:
+    """Model weights directory: local path, cache dir, or HF download
+    (ref: models/llama.rs:39-71 fetch)."""
+    name = config.model.model_name
+    if os.path.isdir(name):
+        return name
+    local = os.path.join(config.model.cache_dir, name.replace("/", "--"))
+    if os.path.isdir(local):
+        return local
+    try:
+        from huggingface_hub import snapshot_download  # type: ignore
+
+        return snapshot_download(
+            name,
+            revision=config.model.revision,
+            cache_dir=config.model.cache_dir,
+            token=config.model.api_key,
+        )
+    except Exception as e:  # pragma: no cover - network-dependent
+        raise FileNotFoundError(
+            f"model {name!r} not found locally and HF download failed: {e}"
+        )
+
+
+class LlmService:
+    """Boots the stack and admits requests (ref: llm_service.rs:102-296)."""
+
+    def __init__(
+        self,
+        config: EngineConfig,
+        engine: LlmEngine,
+        validation: Validation,
+        tokenizer_pool: TokenizerPool,
+        block_size: int,
+        eos_token_ids,
+    ):
+        self.config = config
+        self.engine = engine
+        self.validation = validation
+        self.tokenizer_pool = tokenizer_pool
+        self.block_size = block_size
+        self.eos_token_ids = eos_token_ids
+
+    # ----------------------------------------------------------------- startup
+    @classmethod
+    def start(
+        cls,
+        config: EngineConfig,
+        *,
+        model=None,
+        params=None,
+        tokenizer=None,
+        model_dir: Optional[str] = None,
+    ) -> "LlmService":
+        """Build the full stack (ref: llm_service.rs:102-245).
+
+        ``model``/``params``/``tokenizer`` may be injected for tests (the
+        MockModel pattern, ref: tests/mod.rs:35-164); otherwise weights load
+        from ``model_dir``/HF.
+        """
+        t0 = time.monotonic()
+        if model is None or params is None or tokenizer is None:
+            from ..models.llama import Llama
+            from ..models.weights import load_hf_config, load_llama_params
+
+            model_dir = model_dir or resolve_model_dir(config)
+            model_cfg = load_hf_config(model_dir)
+            dtype = jnp.bfloat16 if config.model.dtype == "bfloat16" else (
+                jnp.float32 if config.model.dtype == "float32" else jnp.float16
+            )
+            model = Llama(model_cfg, dtype=dtype)
+            params = load_llama_params(
+                model_dir,
+                model_cfg,
+                dtype=dtype,
+                quantization=config.model.quantization,
+            )
+            tokenizer = _load_tokenizer(model_dir)
+            logger.info(
+                "model loaded in %.1fs", time.monotonic() - t0
+            )
+
+        cfg = model.config
+        # Profile KV pools AFTER weights are resident (ref: config.rs:624-625).
+        config.cache.profile(
+            cfg.num_layers,
+            cfg.num_kv_heads,
+            cfg.head_dim,
+            config.model.kv_dtype_size,
+        )
+
+        cache_engine = CacheEngine(
+            num_layers=cfg.num_layers,
+            num_kv_heads=cfg.num_kv_heads,
+            head_dim=cfg.head_dim,
+            block_size=config.cache.block_size,
+            num_device_blocks=config.cache.num_device_blocks,
+            num_host_blocks=config.cache.num_host_blocks or 0,
+            dtype=model.dtype,
+        )
+        worker = ModelWorker(
+            model, params, cache_engine, config.scheduler, config.cache
+        )
+        scheduler = Scheduler(config.scheduler, config.cache)
+        tokenizer_pool = TokenizerPool(
+            tokenizer, config.model.num_tokenizer_workers
+        )
+        validation = Validation(config.validation, tokenizer_pool)
+        engine = LlmEngine(
+            scheduler,
+            worker,
+            tokenizer,
+            cfg.eos_token_ids,
+            config.scheduler.max_model_len,
+        )
+        return cls(
+            config,
+            engine,
+            validation,
+            tokenizer_pool,
+            config.cache.block_size,
+            cfg.eos_token_ids,
+        )
+
+    # --------------------------------------------------------------- admission
+    async def handle_request(
+        self,
+        request: GenerateRequest,
+        *,
+        stream: bool = False,
+    ):
+        """Validate → sequences → engine (ref: llm_service.rs:318-388).
+
+        Returns an awaitable response future, or (future, stream_queue) when
+        streaming.
+        """
+        valid = await self.validation.validate(request)
+
+        eos = self.eos_token_ids
+        eos_id = eos[0] if isinstance(eos, (list, tuple)) else eos
+        sequences = [
+            Sequence(
+                seq_id=next(_SEQ_COUNTER),
+                prompt=valid.inputs,
+                prompt_token_ids=list(valid.input_token_ids),
+                block_size=self.block_size,
+                eos_token_id=eos_id,
+            )
+            for _ in range(max(valid.n, 1))
+        ]
+        group = SequenceGroup(
+            request_id=valid.request_id,
+            sequences=sequences,
+            next_token_chooser_params=valid.parameters,
+            stopping_criteria=valid.stopping_criteria,
+            logprobs=valid.logprobs,
+            best_of=valid.best_of,
+        )
+        loop = asyncio.get_running_loop()
+        future: asyncio.Future = loop.create_future()
+        queue: Optional[asyncio.Queue] = asyncio.Queue() if stream else None
+        self.engine.add_request(group, future, queue)
+        if stream:
+            return future, queue
+        return future
+
+    # ---------------------------------------------------------------- shutdown
+    def stop(self) -> None:
+        """Graceful shutdown (ref: llm_service.rs:404-442)."""
+        self.engine.stop()
+        self.tokenizer_pool.shutdown()
+        if self.config.model.flush_storage:
+            shutil.rmtree(self.config.model.cache_dir, ignore_errors=True)

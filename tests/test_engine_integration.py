@@ -1,0 +1,207 @@
+"""Full-service integration tests (the reference's MockModel tier
+— backends/vllm/src/tests/mod.rs:166-352 — with a tiny random-weight real
+model instead of a mock, since CPU JAX runs it fast).
+
+Drives tokenize → validate → schedule → worker → sample → detokenize →
+stream/finish for many concurrent requests through the asyncio engine loop.
+"""
+
+import asyncio
+
+import jax.numpy as jnp
+import pytest
+
+from atoma_infer_tpu.config import (
+    CacheConfig,
+    EngineConfig,
+    ModelConfig,
+    SchedulerConfig,
+    ValidationConfig,
+)
+from atoma_infer_tpu.engine.llm_service import LlmService
+from atoma_infer_tpu.entrypoints.offline import build_tiny_random
+from atoma_infer_tpu.types import GenerateParameters, GenerateRequest
+
+
+def make_service(**scheduler_overrides) -> LlmService:
+    model, params, tokenizer = build_tiny_random()
+    sched = dict(
+        max_num_batched_tokens=512,
+        max_num_sequences=16,
+        max_model_len=512,
+        enable_chunked_prefill=False,
+    )
+    sched.update(scheduler_overrides)
+    config = EngineConfig(
+        model=ModelConfig(model_name="tiny-random", dtype="float32"),
+        cache=CacheConfig(
+            block_size=16,
+            num_device_blocks_override=128,
+            num_host_blocks_override=32,
+        ),
+        scheduler=SchedulerConfig(**sched),
+        validation=ValidationConfig(max_input_tokens=256, max_total_tokens=512),
+    )
+    return LlmService.start(
+        config, model=model, params=params, tokenizer=tokenizer
+    )
+
+
+def run(coro):
+    return asyncio.run(coro)
+
+
+class TestEngineIntegration:
+    def test_many_concurrent_requests(self):
+        async def scenario():
+            service = make_service()
+            task = asyncio.create_task(service.engine.run())
+            futs = []
+            for i in range(32):
+                fut = await service.handle_request(
+                    GenerateRequest(
+                        request_id=f"req-{i}",
+                        inputs=f"prompt number {i} " * (1 + i % 5),
+                        parameters=GenerateParameters(max_new_tokens=8),
+                    )
+                )
+                futs.append(fut)
+            results = await asyncio.wait_for(asyncio.gather(*futs), timeout=120)
+            service.stop()
+            task.cancel()
+            return results
+
+        results = run(scenario())
+        assert len(results) == 32
+        for r in results:
+            assert len(r.outputs) == 1
+            # The random model may emit EOS early ("stopped"); otherwise the
+            # budget caps it.
+            assert 1 <= len(r.outputs[0].token_ids) <= 8
+            assert r.outputs[0].finish_reason in ("length_capped", "stopped")
+            assert r.metrics.first_token_time is not None
+
+    def test_streaming(self):
+        async def scenario():
+            service = make_service()
+            task = asyncio.create_task(service.engine.run())
+            fut, queue = await service.handle_request(
+                GenerateRequest(
+                    request_id="stream-1",
+                    inputs="stream me",
+                    parameters=GenerateParameters(max_new_tokens=6),
+                ),
+                stream=True,
+            )
+            chunks = []
+            while True:
+                chunk = await asyncio.wait_for(queue.get(), timeout=60)
+                if chunk is None:
+                    break
+                chunks.append(chunk)
+            result = await asyncio.wait_for(fut, timeout=60)
+            service.stop()
+            task.cancel()
+            return chunks, result
+
+        chunks, result = run(scenario())
+        assert 1 <= len(chunks) <= 6
+        assert chunks[-1].finished
+        assert [c.token_id for c in chunks] == result.outputs[0].token_ids
+
+    def test_sampled_determinism_by_seed(self):
+        async def scenario(seed):
+            service = make_service()
+            task = asyncio.create_task(service.engine.run())
+            fut = await service.handle_request(
+                GenerateRequest(
+                    request_id="s",
+                    inputs="sampling test",
+                    parameters=GenerateParameters(
+                        max_new_tokens=8,
+                        do_sample=True,
+                        temperature=1.0,
+                        top_k=40,
+                        seed=seed,
+                    ),
+                )
+            )
+            r = await asyncio.wait_for(fut, timeout=60)
+            service.stop()
+            task.cancel()
+            return r.outputs[0].token_ids
+
+        a = run(scenario(7))
+        b = run(scenario(7))
+        c = run(scenario(8))
+        assert a == b
+        assert a != c  # overwhelmingly likely
+
+    def test_chunked_prefill_mode(self):
+        async def scenario():
+            service = make_service(
+                enable_chunked_prefill=True, max_num_batched_tokens=64
+            )
+            task = asyncio.create_task(service.engine.run())
+            # Prompt longer than the per-step token budget → multiple chunks.
+            fut = await service.handle_request(
+                GenerateRequest(
+                    request_id="chunky",
+                    inputs="x" * 150,
+                    parameters=GenerateParameters(max_new_tokens=4),
+                )
+            )
+            r = await asyncio.wait_for(fut, timeout=120)
+            service.stop()
+            task.cancel()
+            return r
+
+        r = run(scenario())
+        assert 1 <= len(r.outputs[0].token_ids) <= 4
+
+    def test_validation_rejects_bad_params(self):
+        async def scenario():
+            service = make_service()
+            from atoma_infer_tpu.engine.validation import ValidationError
+
+            with pytest.raises(ValidationError):
+                await service.handle_request(
+                    GenerateRequest(
+                        request_id="bad",
+                        inputs="x",
+                        parameters=GenerateParameters(temperature=-1.0),
+                    )
+                )
+            with pytest.raises(ValidationError):
+                await service.handle_request(
+                    GenerateRequest(
+                        request_id="bad2",
+                        inputs="y",
+                        parameters=GenerateParameters(top_p=1.5),
+                    )
+                )
+            service.stop()
+
+        run(scenario())
+
+    def test_abort_mid_flight(self):
+        async def scenario():
+            service = make_service()
+            task = asyncio.create_task(service.engine.run())
+            fut = await service.handle_request(
+                GenerateRequest(
+                    request_id="victim",
+                    inputs="abort me please",
+                    parameters=GenerateParameters(max_new_tokens=64),
+                )
+            )
+            await asyncio.sleep(0.3)  # let it start decoding
+            aborted = service.engine.abort_request("victim")
+            r = await asyncio.wait_for(fut, timeout=60)
+            service.stop()
+            task.cancel()
+            return aborted, r
+
+        aborted, r = run(scenario())
+        assert aborted
+        assert r.outputs[0].finish_reason == "aborted"
