@@ -1,0 +1,137 @@
+"""Chat-template rendering per model family.
+
+Ref: server/src/api/chat_completions.rs — llama2 (:263), llama3 (:324) and
+hermes3 (:393) prompt builders, tool-call formatting (:576), and the
+model-id → family mapping implied by the hard-coded ``Model`` enum (:28-129).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional
+
+
+def family_for_model(model_id: str) -> str:
+    """Infer the prompt family from the model id (ref: Model enum :28-129)."""
+    m = model_id.lower()
+    if "hermes" in m:
+        return "hermes3"
+    if "llama-2" in m or "llama2" in m:
+        return "llama2"
+    # Llama 3.x and most derivatives.
+    return "llama3"
+
+
+def _content_str(content: Any) -> str:
+    """OpenAI content can be a string or a list of typed parts."""
+    if content is None:
+        return ""
+    if isinstance(content, str):
+        return content
+    parts = []
+    for part in content:
+        if isinstance(part, dict) and part.get("type") == "text":
+            parts.append(part.get("text", ""))
+    return "".join(parts)
+
+
+def render_llama2(messages: List[Dict[str, Any]]) -> str:
+    """``<s>[INST] <<SYS>>...<</SYS>> user [/INST] assistant </s>`` format
+    (ref: chat_completions.rs:263-322)."""
+    system = ""
+    convo: List[Dict[str, str]] = []
+    for msg in messages:
+        role = msg.get("role")
+        text = _content_str(msg.get("content"))
+        if role == "system":
+            system = text
+        else:
+            convo.append({"role": role, "content": text})
+
+    out = []
+    first_user = True
+    for msg in convo:
+        if msg["role"] == "user":
+            if first_user and system:
+                out.append(
+                    f"<s>[INST] <<SYS>>\n{system}\n<</SYS>>\n\n"
+                    f"{msg['content']} [/INST]"
+                )
+            else:
+                out.append(f"<s>[INST] {msg['content']} [/INST]")
+            first_user = False
+        elif msg["role"] == "assistant":
+            out.append(f" {msg['content']} </s>")
+    return "".join(out)
+
+
+def render_llama3(
+    messages: List[Dict[str, Any]],
+    tools: Optional[List[Dict[str, Any]]] = None,
+) -> str:
+    """``<|start_header_id|>role<|end_header_id|>`` format with optional
+    tool-call preamble (ref: chat_completions.rs:324-391,576-640)."""
+    out = ["<|begin_of_text|>"]
+    tool_prompt = ""
+    if tools:
+        tool_prompt = (
+            "\n\nYou have access to the following functions. To call a "
+            "function, respond with JSON for a function call with its proper "
+            "arguments:\n"
+            + "\n".join(json.dumps(t, indent=2) for t in tools)
+        )
+    for i, msg in enumerate(messages):
+        role = msg.get("role")
+        text = _content_str(msg.get("content"))
+        if role == "tool":
+            role = "ipython"
+        if i == 0 and role == "system" and tool_prompt:
+            text += tool_prompt
+        out.append(
+            f"<|start_header_id|>{role}<|end_header_id|>\n\n{text}<|eot_id|>"
+        )
+    if tool_prompt and not any(m.get("role") == "system" for m in messages):
+        out.insert(
+            1,
+            "<|start_header_id|>system<|end_header_id|>\n\n"
+            f"{tool_prompt.strip()}<|eot_id|>",
+        )
+    out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    return "".join(out)
+
+
+def render_hermes3(
+    messages: List[Dict[str, Any]],
+    tools: Optional[List[Dict[str, Any]]] = None,
+) -> str:
+    """ChatML ``<|im_start|>role ... <|im_end|>`` format with Hermes tool
+    signatures (ref: chat_completions.rs:393-470)."""
+    out = []
+    if tools:
+        sig = "\n".join(json.dumps(t) for t in tools)
+        out.append(
+            "<|im_start|>system\nYou are a function calling AI model. You are "
+            "provided with function signatures within <tools></tools> XML "
+            f"tags:\n<tools>\n{sig}\n</tools><|im_end|>\n"
+        )
+    for msg in messages:
+        role = msg.get("role")
+        text = _content_str(msg.get("content"))
+        out.append(f"<|im_start|>{role}\n{text}<|im_end|>\n")
+    out.append("<|im_start|>assistant\n")
+    return "".join(out)
+
+
+def render_prompt(
+    model_id: str,
+    messages: List[Dict[str, Any]],
+    tools: Optional[List[Dict[str, Any]]] = None,
+) -> str:
+    """Request messages → prompt string (ref: RequestBody::to_generate_request,
+    chat_completions.rs:891-933)."""
+    family = family_for_model(model_id)
+    if family == "llama2":
+        return render_llama2(messages)
+    if family == "hermes3":
+        return render_hermes3(messages, tools)
+    return render_llama3(messages, tools)

@@ -1,0 +1,177 @@
+"""HTTP server tests: chat completions (non-stream + SSE), schema validation,
+health, metrics (the reference's tier-4 API tests + CI curl checks,
+SURVEY.md §4)."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from atoma_infer_tpu.server.app import build_app
+from atoma_infer_tpu.server.chat_templates import (
+    render_hermes3,
+    render_llama2,
+    render_llama3,
+)
+from tests.test_engine_integration import make_service
+
+
+@pytest.fixture()
+def client(event_loop=None):
+    # One service per test; aiohttp TestClient drives the app in-process.
+    service = make_service()
+    app = build_app(service)
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(app, loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, loop
+    loop.run_until_complete(client.close())
+    loop.close()
+
+
+BODY = {
+    "model": "meta-llama/Llama-3.2-1B-Instruct",
+    "messages": [
+        {"role": "system", "content": "You are helpful."},
+        {"role": "user", "content": "Say hi"},
+    ],
+    "max_tokens": 6,
+}
+
+
+class TestServerEndpoints:
+    def test_healthz(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.get("/healthz")
+            assert resp.status == 200
+            assert (await resp.json())["status"] == "ok"
+
+        loop.run_until_complete(go())
+
+    def test_completion(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.post("/v1/chat/completions", json=BODY)
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            assert data["object"] == "chat.completion"
+            assert data["choices"][0]["finish_reason"] in ("length", "stop")
+            assert data["usage"]["prompt_tokens"] > 0
+            assert 1 <= data["usage"]["completion_tokens"] <= 6
+
+        loop.run_until_complete(go())
+
+    def test_streaming_sse(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.post(
+                "/v1/chat/completions", json={**BODY, "stream": True}
+            )
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/event-stream")
+            raw = await resp.text()
+            events = [
+                line[len("data: "):]
+                for line in raw.splitlines()
+                if line.startswith("data: ")
+            ]
+            assert events[-1] == "[DONE]"
+            chunks = [json.loads(e) for e in events[:-1]]
+            assert chunks, "no streamed chunks"
+            assert chunks[0]["object"] == "chat.completion.chunk"
+            assert chunks[-1]["choices"][0]["finish_reason"] in (
+                "length",
+                "stop",
+            )
+
+        loop.run_until_complete(go())
+
+    def test_validate_endpoint(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.post("/v1/chat/completions/validate", json=BODY)
+            assert (await resp.json())["valid"]
+            bad = {**BODY, "temperature": 99}
+            resp = await c.post("/v1/chat/completions/validate", json=bad)
+            data = await resp.json()
+            assert not data["valid"]
+            assert any("temperature" in e["path"] for e in data["errors"])
+
+        loop.run_until_complete(go())
+
+    def test_bad_request_400(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.post("/v1/chat/completions", json={"model": "x"})
+            assert resp.status == 400
+            resp = await c.post(
+                "/v1/chat/completions",
+                data="not json",
+                headers={"Content-Type": "application/json"},
+            )
+            assert resp.status == 400
+
+        loop.run_until_complete(go())
+
+    def test_invalid_params_422(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.post(
+                "/v1/chat/completions", json={**BODY, "top_p": 7.0}
+            )
+            assert resp.status == 422
+
+        loop.run_until_complete(go())
+
+    def test_metrics_exported(self, client):
+        c, loop = client
+
+        async def go():
+            await c.post("/v1/chat/completions", json=BODY)
+            resp = await c.get("/metrics")
+            text = await resp.text()
+            assert "llm_service_requests_total" in text
+            assert "engine_generated_tokens_total" in text
+
+        loop.run_until_complete(go())
+
+    def test_openapi(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.get("/openapi.json")
+            spec = await resp.json()
+            assert "/v1/chat/completions" in spec["paths"]
+
+        loop.run_until_complete(go())
+
+
+class TestChatTemplates:
+    def test_llama3_format(self):
+        out = render_llama3(BODY["messages"])
+        assert out.startswith("<|begin_of_text|>")
+        assert "<|start_header_id|>system<|end_header_id|>" in out
+        assert out.endswith("<|start_header_id|>assistant<|end_header_id|>\n\n")
+
+    def test_llama2_format(self):
+        out = render_llama2(BODY["messages"])
+        assert out.startswith("<s>[INST] <<SYS>>")
+        assert "[/INST]" in out
+
+    def test_hermes3_format(self):
+        out = render_hermes3(BODY["messages"])
+        assert "<|im_start|>system" in out
+        assert out.endswith("<|im_start|>assistant\n")
+
+    def test_llama3_tools(self):
+        tools = [{"type": "function", "function": {"name": "get_weather"}}]
+        out = render_llama3(BODY["messages"], tools)
+        assert "get_weather" in out
