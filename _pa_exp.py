@@ -38,16 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import AttentionMetadata
+from atoma_infer_tpu.ops.attention import AttentionMetadata
 
 NEG_INF = -2.0e30
 
 
-def _pick_block_q(num_tokens: int, num_seq_slots: int) -> int:
-    # Decode-dominated batches (≈1 query/seq): narrow entries avoid
-    # padded-row softmax work; 2 rows is the bf16 sublane-packing minimum.
-    if num_tokens <= num_seq_slots:
-        return 2
+def _pick_block_q(num_tokens: int) -> int:
     for bq in (128, 64, 32, 16, 8):
         if num_tokens % bq == 0:
             return bq
@@ -80,6 +76,9 @@ def build_work_list(
     qblock = eids - offs[seq]
     valid = eids < offs[num_slots]
     return jnp.where(valid, seq, -1), jnp.where(valid, qblock, 0), offs
+
+
+MODE = 'full'
 
 
 def _kernel(
@@ -140,19 +139,16 @@ def _kernel(
         )
 
     def start_chunk(buf, chunk):
+        if MODE == 'compute_only':
+            return
         for p in range(CP):
             page_dma(buf, chunk, p).start()
 
     def wait_chunk(buf, chunk):
-        # All CP page copies signal the same semaphore; one wait sized to the
-        # whole chunk buffer (DMA waits count destination bytes) replaces CP
-        # per-descriptor waits — descriptor construction is the scalar-core
-        # bottleneck of the DMA path.
-        pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(0, CHUNK)],
-            kv_vmem.at[buf],
-            kv_sems.at[buf],
-        ).wait()
+        if MODE in ('compute_only', 'dma_nowait'):
+            return
+        for p in range(CP):
+            page_dma(buf, chunk, p).wait()
 
     @pl.when(active)
     def _():
@@ -200,6 +196,10 @@ def _kernel(
             if sliding_window is not None:
                 mask &= col > pos - sliding_window
 
+            if MODE in ('dma_only', 'dma_nowait'):
+                m, l, acc = carry[0]
+                chunk_rows = kv_all[0:G*BQ, 0:D].astype(jnp.float32)
+                return ((m, l, acc + chunk_rows),) + tuple(carry[1:])
             new_carry = []
             for h in range(Hk):
                 kh = kv_all[:, h * D : (h + 1) * D]  # [CHUNK, D]
@@ -271,7 +271,7 @@ def ragged_paged_attention_pallas(
     S = meta.seq_lens.shape[0]
     P = meta.block_tables.shape[1]
     bs = meta.block_size
-    BQ = block_q or _pick_block_q(T, S)
+    BQ = block_q or _pick_block_q(T)
     CP = pages_per_chunk or max(1, 512 // bs)
     CP = min(CP, P)
     W = T // BQ + S  # worst-case (seq, q_block) entries

@@ -124,10 +124,12 @@ def quantized_matmul(x: jnp.ndarray, w: QuantizedTensor) -> jnp.ndarray:
 
     xg = x.reshape(*x.shape[:-1], num_groups, group_size)
     qg = q.reshape(num_groups, group_size, out_dim)
+    # bf16 operands feed the MXU on TPU; CPU XLA lacks bf16×bf16→f32 dots.
+    op_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     partial = jnp.einsum(
         "...gk,gko->...go",
-        xg.astype(jnp.bfloat16),
-        qg.astype(jnp.bfloat16),
+        xg.astype(op_dtype),
+        qg.astype(op_dtype),
         preferred_element_type=jnp.float32,
     )
     out = jnp.sum(partial * scales.astype(jnp.float32), axis=-2)

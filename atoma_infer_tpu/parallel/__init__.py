@@ -15,4 +15,5 @@ from .sharding import (  # noqa: F401
     kv_cache_sharding,
     param_shardings,
     replicated,
+    shard_params,
 )

@@ -1,0 +1,163 @@
+"""Weight-only INT8/INT4 quantization tests (beyond the reference —
+BASELINE.json configs #3-5). Gates: dequant round-trip error bounds and
+quantized-matmul agreement with the dequantized dense matmul."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atoma_infer_tpu.ops.quant import (
+    QuantizedTensor,
+    dequantize_kv,
+    dequantize_weight,
+    quantize_kv,
+    quantize_weight,
+    quantized_matmul,
+)
+
+
+def _w(shape, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+
+class TestWeightQuant:
+    @pytest.mark.parametrize("bits,tol", [(8, 0.03), (4, 0.4)])
+    def test_roundtrip_error(self, bits, tol):
+        w = _w((256, 128))
+        q = quantize_weight(w, bits=bits)
+        deq = dequantize_weight(q, dtype=jnp.float32)
+        # Symmetric absmax quant: error bounded by scale/2 per group.
+        err = np.abs(np.asarray(deq) - np.asarray(w))
+        assert err.max() < tol
+
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_matmul_matches_dequant(self, bits):
+        w = _w((256, 64), seed=1)
+        x = _w((8, 256), seed=2)
+        q = quantize_weight(w, bits=bits)
+        got = quantized_matmul(x, q)
+        want = x @ dequantize_weight(q, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-2, rtol=5e-2
+        )
+
+    def test_int4_packing_shape(self):
+        w = _w((256, 64))
+        q = quantize_weight(w, bits=4)
+        assert q.qweight.shape == (128, 64)  # two values per byte
+        assert q.in_dim == 256
+        assert q.out_dim == 64
+
+    def test_grouped_scales_shape(self):
+        w = _w((256, 64))
+        q = quantize_weight(w, bits=8, group_size=64)
+        assert q.scales.shape == (4, 64)
+
+    def test_degenerate_group(self):
+        # in_dim not divisible by group_size → single group.
+        w = _w((100, 32))
+        q = quantize_weight(w, bits=8, group_size=128)
+        assert q.scales.shape == (1, 32)
+        deq = dequantize_weight(q, dtype=jnp.float32)
+        assert np.abs(np.asarray(deq) - np.asarray(w)).max() < 0.05
+
+    def test_pytree_registration(self):
+        w = _w((128, 64))
+        q = quantize_weight(w, bits=8)
+        leaves, treedef = jax.tree_util.tree_flatten(q)
+        assert len(leaves) == 2  # qweight, scales
+        q2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert q2.bits == 8
+
+    def test_quantized_model_logits_close_to_dense(self):
+        """INT8 weight-only model vs bf16: logprob drift gate
+        (BASELINE north-star: logprobs matched to bf16)."""
+        from atoma_infer_tpu.models.llama import Llama, LlamaConfig
+        from atoma_infer_tpu.ops.attention import AttentionMetadata
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=16,
+            max_position_embeddings=64, tie_word_embeddings=True,
+        )
+        model = Llama(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.PRNGKey(0))
+        qparams = dict(params)
+        qparams["layers"] = {
+            k: (
+                jax.vmap(lambda w: quantize_weight(w, 8))(v)
+                if k.endswith("_proj")
+                else v
+            )
+            for k, v in params["layers"].items()
+        }
+
+        T = 16
+        tokens = jnp.arange(T, dtype=jnp.int32) % cfg.vocab_size
+        positions = jnp.arange(T, dtype=jnp.int32)
+        kv = jnp.zeros((2, 64, 2, 4, 16), jnp.float32)
+        meta = AttentionMetadata(
+            slot_mapping=jnp.arange(T, dtype=jnp.int32),
+            block_tables=jnp.asarray([[0, 1, 2, 3]], jnp.int32),
+            seq_lens=jnp.asarray([T], jnp.int32),
+            query_start_loc=jnp.asarray([0, T], jnp.int32),
+            num_seqs=jnp.asarray(1, jnp.int32),
+            block_size=16,
+        )
+        h_dense, _ = model.forward(params, tokens, positions, kv, meta)
+        h_quant, _ = model.forward(qparams, tokens, positions, kv, meta)
+        lp_dense = jax.nn.log_softmax(model.compute_logits(params, h_dense))
+        lp_quant = jax.nn.log_softmax(model.compute_logits(qparams, h_quant))
+        # Top-1 agreement and bounded logprob drift.
+        top_dense = np.asarray(jnp.argmax(lp_dense, -1))
+        top_quant = np.asarray(jnp.argmax(lp_quant, -1))
+        assert (top_dense == top_quant).mean() >= 0.9
+        drift = np.abs(np.asarray(lp_dense) - np.asarray(lp_quant)).mean()
+        assert drift < 0.1
+
+
+class TestKvQuant:
+    def test_kv_roundtrip(self):
+        kv = _w((16, 4, 64))
+        q, scale = quantize_kv(kv)
+        assert q.dtype == jnp.int8
+        deq = dequantize_kv(q, scale, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(deq), np.asarray(kv), atol=0.05, rtol=0.05
+        )
+
+    def test_oracle_accepts_kv_scales(self):
+        """The XLA oracle dequantizes per-slot-scaled caches."""
+        from atoma_infer_tpu.ops.reference import ragged_paged_attention_xla
+
+        rng = np.random.default_rng(0)
+        T, H, D, bs = 4, 2, 32, 4
+        ns = 4 * bs
+        k = jnp.asarray(rng.standard_normal((ns, H, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((ns, H, D)), jnp.float32)
+        qk, sk = quantize_kv(k)
+        qv, sv = quantize_kv(v)
+        # Reduce to one scale per slot (the oracle's contract).
+        sk1 = sk.max(axis=1)
+        sv1 = sv.max(axis=1)
+        qk1, _ = jnp.clip(jnp.round(k / sk1[:, None, None]), -127, 127), None
+        qv1 = jnp.clip(jnp.round(v / sv1[:, None, None]), -127, 127)
+        q = jnp.asarray(rng.standard_normal((T, H, D)), jnp.float32)
+        tables = jnp.asarray([[0, 1, 2, 3]], jnp.int32)
+        seq_lens = jnp.asarray([T], jnp.int32)
+        qsl = jnp.asarray([0, T], jnp.int32)
+        out_fp = ragged_paged_attention_xla(
+            q, k, v, tables, seq_lens, qsl,
+            scale=D**-0.5, block_size=bs,
+        )
+        out_q = ragged_paged_attention_xla(
+            q, qk1.astype(jnp.int8), qv1.astype(jnp.int8),
+            tables, seq_lens, qsl,
+            scale=D**-0.5, block_size=bs,
+            k_scale=sk1, v_scale=sv1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_q), np.asarray(out_fp), atol=0.05, rtol=0.05
+        )
