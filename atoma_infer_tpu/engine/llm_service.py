@@ -106,22 +106,33 @@ class LlmService:
         """
         t0 = time.monotonic()
         if model is None or params is None or tokenizer is None:
-            from ..models.llama import Llama
-            from ..models.weights import load_hf_config, load_llama_params
+            if config.model.model_name == "tiny-random":
+                # Random-weight smoke model (tests + the verify drive).
+                from ..entrypoints.offline import build_tiny_random
 
-            model_dir = model_dir or resolve_model_dir(config)
-            model_cfg = load_hf_config(model_dir)
-            dtype = jnp.bfloat16 if config.model.dtype == "bfloat16" else (
-                jnp.float32 if config.model.dtype == "float32" else jnp.float16
-            )
-            model = Llama(model_cfg, dtype=dtype)
-            params = load_llama_params(
-                model_dir,
-                model_cfg,
-                dtype=dtype,
-                quantization=config.model.quantization,
-            )
-            tokenizer = _load_tokenizer(model_dir)
+                model, params, tokenizer = build_tiny_random()
+            else:
+                from ..models.registry import get_model_cls
+                from ..models.weights import (
+                    load_hf_config,
+                    load_llama_params,
+                )
+
+                model_dir = model_dir or resolve_model_dir(config)
+                model_cfg = load_hf_config(model_dir)
+                dtype = jnp.bfloat16 if config.model.dtype == "bfloat16" else (
+                    jnp.float32 if config.model.dtype == "float32"
+                    else jnp.float16
+                )
+                arch = model_cfg.architecture or "llama"
+                model = get_model_cls(arch)(model_cfg, dtype=dtype)
+                params = load_llama_params(
+                    model_dir,
+                    model_cfg,
+                    dtype=dtype,
+                    quantization=config.model.quantization,
+                )
+                tokenizer = _load_tokenizer(model_dir)
             logger.info(
                 "model loaded in %.1fs", time.monotonic() - t0
             )

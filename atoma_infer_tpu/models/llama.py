@@ -49,6 +49,7 @@ class LlamaConfig:
     eos_token_ids: Tuple[int, ...] = (128001, 128008, 128009)
     bos_token_id: int = 128000
     sliding_window: Optional[int] = None
+    architecture: str = "llama"
 
     @classmethod
     def from_hf_dict(cls, d: Dict[str, Any]) -> "LlamaConfig":
@@ -82,6 +83,7 @@ class LlamaConfig:
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             eos_token_ids=eos_ids,
             bos_token_id=d.get("bos_token_id", 1),
+            architecture=d.get("model_type", "llama"),
         )
 
     # Accessors the cache engine needs (ref: model_executor.rs:116-140

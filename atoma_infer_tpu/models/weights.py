@@ -41,8 +41,19 @@ def _weight_files(model_dir: str) -> List[str]:
 
 
 def load_hf_config(model_dir: str) -> LlamaConfig:
+    """Parse config.json into the right family config (llama/mistral/phi3)."""
     with open(os.path.join(model_dir, "config.json")) as f:
-        return LlamaConfig.from_hf_dict(json.load(f))
+        d = json.load(f)
+    model_type = d.get("model_type", "llama")
+    if model_type == "mistral":
+        from .mistral import MistralConfig
+
+        return MistralConfig.from_hf_dict(d)
+    if model_type == "phi3":
+        from .phi3 import Phi3Config
+
+        return Phi3Config.from_hf_dict(d)
+    return LlamaConfig.from_hf_dict(d)
 
 
 # HF parameter name → (pytree key, transpose?) for per-layer tensors.
@@ -78,10 +89,27 @@ def load_llama_params(
     }
     top: Dict[str, Any] = {}
 
+    def tensors_from(f):
+        """Yield (name, array), splitting phi3's fused qkv/gate_up tensors
+        into llama-format pieces (ref: phi3.rs fused checkpoint layout)."""
+        from .phi3 import split_phi3_tensor
+
+        for name in f.keys():
+            arr = f.get_tensor(name)
+            if name.endswith(("qkv_proj.weight", "gate_up_proj.weight")):
+                yield from split_phi3_tensor(
+                    name,
+                    arr,
+                    config.num_attention_heads,
+                    config.num_key_value_heads,
+                    config.head_dim,
+                )
+            else:
+                yield name, arr
+
     for path in _weight_files(model_dir):
         with safe_open(path, framework="numpy") as f:
-            for name in f.keys():
-                arr = f.get_tensor(name)
+            for name, arr in tensors_from(f):
                 if name == "model.embed_tokens.weight":
                     top["embed"] = arr
                 elif name == "model.norm.weight":

@@ -1,0 +1,158 @@
+"""Mistral and Phi-3 model-family tests vs HuggingFace numerics.
+
+The reference implements these families but never registers them
+(SURVEY.md §2.3); here they are first-class: config dispatch, fused-tensor
+splitting (phi3), sliding-window attention (mistral), registry lookup.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from atoma_infer_tpu.models.registry import get_model_cls, list_models
+from atoma_infer_tpu.models.weights import load_hf_config, load_llama_params
+from atoma_infer_tpu.ops.attention import AttentionMetadata
+
+BLOCK_SIZE = 16
+
+
+def make_meta(T, tables):
+    slots = [
+        tables[p // BLOCK_SIZE] * BLOCK_SIZE + p % BLOCK_SIZE for p in range(T)
+    ]
+    return AttentionMetadata(
+        slot_mapping=jnp.asarray(slots, jnp.int32),
+        block_tables=jnp.asarray([tables], jnp.int32),
+        seq_lens=jnp.asarray([T], jnp.int32),
+        query_start_loc=jnp.asarray([0, T], jnp.int32),
+        num_seqs=jnp.asarray(1, jnp.int32),
+        block_size=BLOCK_SIZE,
+    )
+
+
+def run_ours(model_dir, T, token_ids):
+    cfg = load_hf_config(model_dir)
+    model_cls = get_model_cls(cfg.architecture)
+    model = model_cls(cfg, dtype=jnp.float32)
+    params = load_llama_params(model_dir, cfg, dtype=jnp.float32)
+    kv = jnp.zeros(
+        (cfg.num_layers, 8 * BLOCK_SIZE, 2, cfg.num_kv_heads, cfg.head_dim),
+        jnp.float32,
+    )
+    hidden, _ = model.forward(
+        params,
+        jnp.asarray(token_ids, jnp.int32),
+        jnp.arange(T, dtype=jnp.int32),
+        kv,
+        make_meta(T, [3, 1, 6, 0]),
+    )
+    return np.asarray(model.compute_logits(params, hidden))
+
+
+class TestMistral:
+    def test_logits_match_hf(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from safetensors.torch import save_file
+        from transformers import MistralConfig as HFConfig
+        from transformers import MistralForCausalLM
+
+        cfg_dict = dict(
+            model_type="mistral",
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            max_position_embeddings=256,
+            sliding_window=24,
+            tie_word_embeddings=False,
+            bos_token_id=0,
+            eos_token_id=1,
+        )
+        torch.manual_seed(1)
+        hf_model = (
+            MistralForCausalLM(HFConfig(**cfg_dict)).eval().to(torch.float32)
+        )
+        save_file(hf_model.state_dict(), str(tmp_path / "model.safetensors"))
+        (tmp_path / "config.json").write_text(json.dumps(cfg_dict))
+
+        T = 40  # > sliding_window to exercise the window mask
+        rng = np.random.RandomState(0)
+        token_ids = rng.randint(0, 128, T)
+        with torch.no_grad():
+            hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
+        ours = run_ours(str(tmp_path), T, token_ids)
+        np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-4)
+
+    def test_config_dispatch(self, tmp_path):
+        (tmp_path / "config.json").write_text(
+            json.dumps(
+                dict(
+                    model_type="mistral",
+                    vocab_size=128,
+                    hidden_size=64,
+                    intermediate_size=128,
+                    num_hidden_layers=2,
+                    num_attention_heads=4,
+                    sliding_window=77,
+                )
+            )
+        )
+        cfg = load_hf_config(str(tmp_path))
+        assert cfg.architecture == "mistral"
+        assert cfg.sliding_window == 77
+
+
+class TestPhi3:
+    def test_logits_match_hf(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from safetensors.torch import save_file
+        from transformers import Phi3Config as HFConfig
+        from transformers import Phi3ForCausalLM
+
+        cfg_dict = dict(
+            model_type="phi3",
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=4,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            max_position_embeddings=256,
+            tie_word_embeddings=False,
+            bos_token_id=0,
+            eos_token_id=1,
+            pad_token_id=0,
+        )
+        torch.manual_seed(2)
+        hf_model = (
+            Phi3ForCausalLM(HFConfig(**cfg_dict)).eval().to(torch.float32)
+        )
+        save_file(hf_model.state_dict(), str(tmp_path / "model.safetensors"))
+        (tmp_path / "config.json").write_text(json.dumps(cfg_dict))
+
+        T = 21
+        rng = np.random.RandomState(3)
+        token_ids = rng.randint(0, 128, T)
+        with torch.no_grad():
+            hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
+        ours = run_ours(str(tmp_path), T, token_ids)
+        np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-4)
+
+
+class TestRegistry:
+    def test_families_registered(self):
+        assert set(list_models()) == {"llama", "mistral", "phi3"}
+        for name in ("llama", "mistral", "phi3"):
+            assert get_model_cls(name) is not None
+        with pytest.raises(ValueError):
+            get_model_cls("gpt-neox")
