@@ -50,13 +50,16 @@ def run(tag):
     per = (b - a) / steps
     print(f"{tag}: {per*1e3:8.2f} ms/step  {S/per:8.1f} tok/s")
 
-# 1) no attention (identity): isolate matmul/scan/write costs
-orig = attn_mod.ragged_paged_attention
-attn_mod.ragged_paged_attention = lambda q, kv, m, **kw: q
-import importlib
 import atoma_infer_tpu.models.llama as lm
-lm.ragged_paged_attention = attn_mod.ragged_paged_attention
-run("no-attn   ")
-# 2) pallas attention
-lm.ragged_paged_attention = orig
-run("pallas    ")
+orig_attn = lm.ragged_paged_attention
+orig_write = lm.write_kv_cache
+# 1) no attention, no cache write: pure matmul/scan path
+lm.ragged_paged_attention = lambda q, kv, m, **kw: q
+lm.write_kv_cache = lambda kv, k, v, s: kv
+run("no-attn no-write")
+# 2) no attention, with write
+lm.write_kv_cache = orig_write
+run("no-attn +write  ")
+# 3) full pallas
+lm.ragged_paged_attention = orig_attn
+run("pallas +write   ")

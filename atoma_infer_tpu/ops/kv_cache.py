@@ -39,7 +39,21 @@ def write_kv_cache(
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,  # [num_tokens] int32, PAD_SLOT_ID for padding
 ) -> jnp.ndarray:
-    """Scatter this step's K/V rows into their assigned slots (one scatter)."""
+    """Scatter this step's K/V rows into their assigned slots.
+
+    On TPU this dispatches to the Pallas per-row DMA kernel (ops/kv_write.py)
+    — XLA's scatter lowering costs ~100× roofline there; elsewhere it is a
+    single XLA scatter.
+    """
+    row_lanes = 2 * kv_cache.shape[2] * kv_cache.shape[3]
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    if on_tpu and row_lanes % 128 == 0:
+        from .kv_write import write_kv_cache_pallas
+
+        return write_kv_cache_pallas(kv_cache, k_new, v_new, slot_mapping)
     slots = _dropped_pad(slot_mapping)
     kv_new = jnp.stack([k_new, v_new], axis=1).astype(kv_cache.dtype)
     return kv_cache.at[slots].set(kv_new, mode="drop", indices_are_sorted=False)

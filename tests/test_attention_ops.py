@@ -199,3 +199,20 @@ def test_copy_blocks():
     np.testing.assert_array_equal(
         kv2[:, BLOCK_SIZE : 3 * BLOCK_SIZE], kv[:, BLOCK_SIZE : 3 * BLOCK_SIZE]
     )
+
+
+def test_pallas_kv_write_matches_scatter():
+    """Pallas per-row DMA cache write vs the XLA scatter (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from atoma_infer_tpu.ops.kv_write import write_kv_cache_pallas
+
+    rng = np.random.RandomState(0)
+    kv = jnp.zeros((64, 2, 2, 32), jnp.float32)
+    k_new = jnp.asarray(rng.randn(8, 2, 32), jnp.float32)
+    v_new = jnp.asarray(rng.randn(8, 2, 32), jnp.float32)
+    slots = jnp.asarray([5, 63, -1, 17, 0, -1, 33, 12], jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got = write_kv_cache_pallas(kv, k_new, v_new, slots)
+    want = write_kv_cache(jnp.zeros_like(kv), k_new, v_new, slots)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
