@@ -218,6 +218,9 @@ class SchedulerConfig:
     max_model_len: int = 4096
     delay_factor: float = 0.0
     enable_chunked_prefill: bool = False
+    # Host-side native (C++) block-manager core; falls back to the Python
+    # implementation when the toolchain is unavailable.
+    use_native_core: bool = True
 
     def __post_init__(self) -> None:
         # Invariant checks (ref: config.rs:388-406).

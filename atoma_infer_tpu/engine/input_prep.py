@@ -109,12 +109,27 @@ def prepare_model_input(
 
             token_ids.extend(new_tokens)
             positions.extend(range(computed, kv_len))
-            for pos in range(computed, kv_len):
-                # Sliding-window slot reuse happens at the block-manager level
-                # (blocks modulo window); the mapping here is always linear in
-                # the table (ref: worker.rs:373-401).
-                page = table[(pos // block_size) % max(len(table), 1)]
-                slot_mapping.append(page * block_size + pos % block_size)
+            # Sliding-window slot reuse happens at the block-manager level
+            # (blocks modulo window); the mapping here is linear in the
+            # table (ref: worker.rs:373-401). Long prefill runs use the
+            # native fill when available.
+            if kv_len - computed >= 64:
+                from ..native.block_manager import fill_slot_mapping_native
+
+                filled = fill_slot_mapping_native(
+                    np.asarray(table, dtype=np.int32),
+                    block_size,
+                    computed,
+                    kv_len,
+                )
+            else:
+                filled = None
+            if filled is not None:
+                slot_mapping.extend(filled.tolist())
+            else:
+                for pos in range(computed, kv_len):
+                    page = table[(pos // block_size) % max(len(table), 1)]
+                    slot_mapping.append(page * block_size + pos % block_size)
 
             per_seq_tables.append(list(table))
             seq_lens.append(kv_len)

@@ -158,7 +158,26 @@ class LlmService:
         worker = ModelWorker(
             model, params, cache_engine, config.scheduler, config.cache
         )
-        scheduler = Scheduler(config.scheduler, config.cache)
+        block_manager = None
+        if config.scheduler.use_native_core:
+            try:
+                from ..native.block_manager import NativeBlockSpaceManager
+
+                block_manager = NativeBlockSpaceManager(
+                    block_size=config.cache.block_size,
+                    num_device_blocks=config.cache.num_device_blocks or 0,
+                    num_host_blocks=config.cache.num_host_blocks or 0,
+                    sliding_window=config.cache.sliding_window,
+                )
+                logger.info("using native (C++) block-manager core")
+            except Exception as e:
+                logger.warning(
+                    "native core unavailable (%s); using Python block manager",
+                    e,
+                )
+        scheduler = Scheduler(
+            config.scheduler, config.cache, block_manager=block_manager
+        )
         tokenizer_pool = TokenizerPool(
             tokenizer, config.model.num_tokenizer_workers
         )
