@@ -62,7 +62,18 @@ class CacheEngine:
         if sharding is not None:
             kv = jax.device_put(kv, sharding)
         self.kv_cache = kv
+        # INT8 KV mode: per-(slot, K/V) dequantization scales.
+        self.kv_scales = (
+            jnp.zeros(shape[:3], dtype=jnp.float32)
+            if dtype == jnp.int8
+            else None
+        )
         # Host swap tier (ref: worker.rs cpu_cache); numpy, paged identically.
+        host_dtype = (
+            np.int8 if dtype == jnp.int8
+            else np.float32 if dtype == jnp.float32
+            else np.float16
+        )
         self.host_cache = np.zeros(
             (
                 num_layers,
@@ -71,8 +82,13 @@ class CacheEngine:
                 num_kv_heads,
                 head_dim,
             ),
-            dtype=np.float32 if dtype == jnp.float32 else np.float16,
+            dtype=host_dtype,
         ) if num_host_blocks > 0 else None
+        self.host_scales = (
+            np.zeros((num_layers, num_host_blocks * block_size, 2), np.float32)
+            if num_host_blocks > 0 and dtype == jnp.int8
+            else None
+        )
 
     @property
     def num_slots(self) -> int:
@@ -90,11 +106,19 @@ class CacheEngine:
         data = np.asarray(
             gather_blocks_jit(self.kv_cache, dev_ids, self.block_size)
         )
+        sdata = (
+            np.asarray(
+                gather_blocks_jit(self.kv_scales, dev_ids, self.block_size)
+            )
+            if self.kv_scales is not None
+            else None
+        )
         for i, (_, dst) in enumerate(mapping):
             rows = slice(dst * self.block_size, (dst + 1) * self.block_size)
-            self.host_cache[:, rows] = data[
-                :, i * self.block_size : (i + 1) * self.block_size
-            ]
+            src_rows = slice(i * self.block_size, (i + 1) * self.block_size)
+            self.host_cache[:, rows] = data[:, src_rows]
+            if sdata is not None:
+                self.host_scales[:, rows] = sdata[:, src_rows]
 
     def swap_in(self, mapping: List[Tuple[int, int]]) -> None:
         """Host→device block copies (ref: worker.rs:616-630).
@@ -104,9 +128,12 @@ class CacheEngine:
         if not mapping or self.host_cache is None:
             return
         chunks = []
+        schunks = []
         for src, _ in mapping:
             rows = slice(src * self.block_size, (src + 1) * self.block_size)
             chunks.append(self.host_cache[:, rows])
+            if self.host_scales is not None:
+                schunks.append(self.host_scales[:, rows])
         data = jnp.asarray(
             np.concatenate(chunks, axis=1), dtype=self.dtype
         )
@@ -114,6 +141,13 @@ class CacheEngine:
         self.kv_cache = scatter_blocks_jit(
             self.kv_cache, dev_ids, data, self.block_size
         )
+        if schunks:
+            self.kv_scales = scatter_blocks_jit(
+                self.kv_scales,
+                dev_ids,
+                jnp.asarray(np.concatenate(schunks, axis=1)),
+                self.block_size,
+            )
 
     def copy(self, pairs: List[Tuple[int, int]], max_pairs_bucket: int = 16) -> None:
         """Copy-on-write block duplication (ref: worker.rs:632-642).
@@ -131,6 +165,14 @@ class CacheEngine:
         self.kv_cache = copy_blocks_jit(
             self.kv_cache, jnp.asarray(padded), self.block_size
         )
+        if self.kv_scales is not None:
+            self.kv_scales = copy_blocks_jit(
+                self.kv_scales, jnp.asarray(padded), self.block_size
+            )
+
+    @property
+    def quantized(self) -> bool:
+        return self.kv_scales is not None
 
     def execute(
         self,

@@ -146,6 +146,9 @@ class LlmService:
             config.model.kv_dtype_size,
         )
 
+        kv_dtype = (
+            jnp.int8 if config.model.kv_cache_dtype == "int8" else model.dtype
+        )
         cache_engine = CacheEngine(
             num_layers=cfg.num_layers,
             num_kv_heads=cfg.num_kv_heads,
@@ -153,7 +156,7 @@ class LlmService:
             block_size=config.cache.block_size,
             num_device_blocks=config.cache.num_device_blocks,
             num_host_blocks=config.cache.num_host_blocks or 0,
-            dtype=model.dtype,
+            dtype=kv_dtype,
         )
         worker = ModelWorker(
             model, params, cache_engine, config.scheduler, config.cache

@@ -59,7 +59,7 @@ class ModelWorker:
         self._step_fn = jax.jit(
             self._step,
             static_argnames=("needs_sampling", "needs_penalties"),
-            donate_argnames=("kv_cache",),
+            donate_argnames=("kv_cache", "kv_scales"),
         )
 
     # ------------------------------------------------------------- jitted step
@@ -67,6 +67,7 @@ class ModelWorker:
         self,
         params,
         kv_cache,
+        kv_scales,              # None | [L, slots, 2] f32 (int8 KV)
         token_ids,
         positions,
         attn_meta,
@@ -77,9 +78,15 @@ class ModelWorker:
         needs_sampling: bool,
         needs_penalties: bool,
     ):
-        hidden, kv_cache = self.model.forward(
-            params, token_ids, positions, kv_cache, attn_meta
-        )
+        if kv_scales is not None:
+            hidden, kv_cache, kv_scales = self.model.forward(
+                params, token_ids, positions, kv_cache, attn_meta,
+                kv_scales=kv_scales,
+            )
+        else:
+            hidden, kv_cache = self.model.forward(
+                params, token_ids, positions, kv_cache, attn_meta
+            )
         # Last-token rows only, before the LM head (ref: llama.rs:474-477).
         sel = hidden[selected_token_indices]
         logits = self.model.compute_logits(params, sel)  # [S, V] f32
@@ -97,7 +104,7 @@ class ModelWorker:
             needs_sampling=needs_sampling,
             needs_penalties=needs_penalties,
         )
-        return kv_cache, tokens, logprobs
+        return kv_cache, kv_scales, tokens, logprobs
 
     # ------------------------------------------------------------------ public
     def execute_model(
@@ -145,9 +152,10 @@ class ModelWorker:
             "recent_tokens": jnp.asarray(sampling.recent_tokens),
         }
 
-        kv_cache, tokens, logprobs = self._step_fn(
+        kv_cache, kv_scales, tokens, logprobs = self._step_fn(
             self.params,
             self.cache_engine.kv_cache,
+            self.cache_engine.kv_scales,
             jnp.asarray(model_input.token_ids),
             jnp.asarray(model_input.positions),
             model_input.attention_metadata(self.cache_config.block_size),
@@ -158,6 +166,8 @@ class ModelWorker:
             needs_penalties=sampling.needs_penalties,
         )
         self.cache_engine.kv_cache = kv_cache
+        if kv_scales is not None:
+            self.cache_engine.kv_scales = kv_scales
         self._step_counter += 1
 
         tokens_np = np.asarray(tokens)

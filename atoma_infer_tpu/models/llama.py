@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops.rope import RopeScalingConfig, apply_rope, compute_cos_sin_cache
 from ..ops.attention import AttentionMetadata, ragged_paged_attention
-from ..ops.kv_cache import write_kv_cache
+from ..ops.kv_cache import write_kv_cache, write_kv_cache_quant
 from ..ops.quant import QuantizedLinear, quantized_matmul
 
 
@@ -172,17 +172,23 @@ class Llama:
         positions: jnp.ndarray,   # [T] int32 per-token positions
         kv_cache: jnp.ndarray,    # [L, num_slots, 2, Hk, D] (K/V fused)
         attn_meta: AttentionMetadata,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (hidden [T, H], updated kv_cache)."""
+        kv_scales: "jnp.ndarray | None" = None,  # [L, num_slots, 2] (int8 KV)
+    ):
+        """Returns (hidden [T, H], updated kv_cache) — plus updated
+        kv_scales when the cache is INT8-quantized."""
         cfg = self.config
         h = params["embed"][token_ids].astype(self.dtype)
 
         cos, sin = self.rope_cos, self.rope_sin
         scale = cfg.head_dim**-0.5
+        quantized_kv = kv_scales is not None
 
         def layer_fn(carry, xs):
             hidden = carry
-            lp, kv_c = xs
+            if quantized_kv:
+                lp, kv_c, sc_c = xs
+            else:
+                lp, kv_c = xs
             # Attention block (ref: llama.rs:218-320).
             normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
             q = _linear(normed, lp["q_proj"]).reshape(
@@ -198,13 +204,19 @@ class Llama:
             kk = apply_rope(kk, positions, cos, sin)
             # Write new KV into the paged cache, then attend over it
             # (ref: flash_attention.rs:360-361 order).
-            kv_c = write_kv_cache(kv_c, kk, vv, attn_meta.slot_mapping)
+            if quantized_kv:
+                kv_c, sc_c = write_kv_cache_quant(
+                    kv_c, sc_c, kk, vv, attn_meta.slot_mapping
+                )
+            else:
+                kv_c = write_kv_cache(kv_c, kk, vv, attn_meta.slot_mapping)
             attn = ragged_paged_attention(
                 q,
                 kv_c,
                 attn_meta,
                 scale=scale,
                 sliding_window=cfg.sliding_window,
+                kv_scales=sc_c if quantized_kv else None,
             )
             attn = attn.reshape(-1, cfg.num_attention_heads * cfg.head_dim)
             hidden = hidden + _linear(attn, lp["o_proj"])
@@ -213,8 +225,15 @@ class Llama:
             gate = _linear(normed, lp["gate_proj"])
             up = _linear(normed, lp["up_proj"])
             hidden = hidden + _linear(jax.nn.silu(gate) * up, lp["down_proj"])
+            if quantized_kv:
+                return hidden, (kv_c, sc_c)
             return hidden, kv_c
 
+        if quantized_kv:
+            h, (kv_cache, kv_scales) = jax.lax.scan(
+                layer_fn, h, (params["layers"], kv_cache, kv_scales)
+            )
+            return h, kv_cache, kv_scales
         h, kv_cache = jax.lax.scan(
             layer_fn, h, (params["layers"], kv_cache)
         )

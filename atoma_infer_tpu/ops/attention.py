@@ -105,9 +105,10 @@ def ragged_paged_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
+    kv_scales: Optional[jnp.ndarray] = None,  # [num_slots, 2] f32 (int8 cache)
 ) -> jnp.ndarray:
     """Unified prefill+decode attention over the paged cache → [T, Hq, D]."""
-    if _use_pallas() and _pallas_supported(q, kv_cache, meta):
+    if kv_scales is None and _use_pallas() and _pallas_supported(q, kv_cache, meta):
         from .paged_attention import ragged_paged_attention_pallas
 
         return ragged_paged_attention_pallas(
@@ -129,4 +130,6 @@ def ragged_paged_attention(
         block_size=meta.block_size,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
+        k_scale=None if kv_scales is None else kv_scales[:, 0],
+        v_scale=None if kv_scales is None else kv_scales[:, 1],
     )

@@ -111,3 +111,24 @@ scatter_blocks_jit = jax.jit(
     scatter_blocks, static_argnames=("block_size",), donate_argnums=(0,)
 )
 gather_blocks_jit = jax.jit(gather_blocks, static_argnames=("block_size",))
+
+
+def write_kv_cache_quant(
+    kv_cache: jnp.ndarray,   # [num_slots, 2, Hk, D] int8
+    kv_scales: jnp.ndarray,  # [num_slots, 2] f32
+    k_new: jnp.ndarray,      # [T, Hk, D] float
+    v_new: jnp.ndarray,
+    slot_mapping: jnp.ndarray,
+):
+    """INT8 KV write: per-(token, K/V) symmetric absmax quantization
+    (BASELINE config #3 — the reference has no KV quantization)."""
+    kv_new = jnp.stack([k_new, v_new], axis=1).astype(jnp.float32)  # [T,2,H,D]
+    absmax = jnp.max(jnp.abs(kv_new), axis=(2, 3))                  # [T,2]
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(kv_new / scale[:, :, None, None]), -127, 127
+    ).astype(jnp.int8)
+    slots = _dropped_pad(slot_mapping)
+    kv_cache = kv_cache.at[slots].set(q, mode="drop")
+    kv_scales = kv_scales.at[slots].set(scale.astype(kv_scales.dtype), mode="drop")
+    return kv_cache, kv_scales

@@ -161,3 +161,50 @@ class TestKvQuant:
         np.testing.assert_allclose(
             np.asarray(out_q), np.asarray(out_fp), atol=0.05, rtol=0.05
         )
+
+
+class TestInt8KvCacheModel:
+    def test_int8_cache_close_to_bf16(self):
+        """Full model forward with INT8 paged KV vs dense cache: top-1
+        agreement + bounded logprob drift (BASELINE config #3 gate)."""
+        import jax
+        from atoma_infer_tpu.models.llama import Llama, LlamaConfig
+        from atoma_infer_tpu.ops.attention import AttentionMetadata
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=16,
+            max_position_embeddings=64, tie_word_embeddings=True,
+        )
+        model = Llama(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.PRNGKey(0))
+        T, bs = 24, 16
+        tokens = (jnp.arange(T, dtype=jnp.int32) * 7) % cfg.vocab_size
+        positions = jnp.arange(T, dtype=jnp.int32)
+        meta = AttentionMetadata(
+            slot_mapping=jnp.arange(T, dtype=jnp.int32),
+            block_tables=jnp.asarray([[0, 1]], jnp.int32),
+            seq_lens=jnp.asarray([T], jnp.int32),
+            query_start_loc=jnp.asarray([0, T], jnp.int32),
+            num_seqs=jnp.asarray(1, jnp.int32),
+            block_size=bs,
+        )
+        kv_f = jnp.zeros((2, 4 * bs, 2, 4, 16), jnp.float32)
+        h_f, _ = model.forward(params, tokens, positions, kv_f, meta)
+        lp_f = jax.nn.log_softmax(model.compute_logits(params, h_f))
+
+        kv_q = jnp.zeros((2, 4 * bs, 2, 4, 16), jnp.int8)
+        scales = jnp.zeros((2, 4 * bs, 2), jnp.float32)
+        h_q, kv_q, scales = model.forward(
+            params, tokens, positions, kv_q, meta, kv_scales=scales
+        )
+        lp_q = jax.nn.log_softmax(model.compute_logits(params, h_q))
+
+        top_f = np.asarray(jnp.argmax(lp_f, -1))
+        top_q = np.asarray(jnp.argmax(lp_q, -1))
+        assert (top_f == top_q).mean() >= 0.9
+        assert np.abs(np.asarray(lp_f) - np.asarray(lp_q)).mean() < 0.05
+        # The quantized cache really is int8 and scales were written.
+        assert kv_q.dtype == jnp.int8
+        assert float(scales[:, :T].min()) > 0
