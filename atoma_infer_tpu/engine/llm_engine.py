@@ -28,6 +28,7 @@ from ..sequence import (
     SequenceGroupOutput,
     SequenceStatus,
 )
+from ..server import metrics
 from .detokenizer import Detokenizer
 from .worker import ModelWorker
 
@@ -183,6 +184,7 @@ class LlmEngine:
         group_outputs = self.worker.execute_model(request)
         finished = self._process_outputs(metadata, group_outputs)
         self.scheduler.remove_finished_sequences()
+        metrics.RUNNING_SEQS.set(len(self.scheduler.running))
         return finished
 
     # ---------------------------------------------------------------- outputs
@@ -223,6 +225,7 @@ class LlmEngine:
     def _update_sequence(self, group: SequenceGroup, seq: Sequence, seq_out) -> None:
         """Append token, detokenize, stop checks (ref: llm_engine.rs:367-521)."""
         seq.append_token_id(seq_out.output_token, seq_out.logprob)
+        metrics.GENERATED_TOKENS.inc()
         new_text = self.detokenizer.decode_sequence_inplace(seq)
 
         stopping = group.stopping_criteria

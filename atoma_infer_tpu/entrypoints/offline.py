@@ -156,8 +156,15 @@ def main() -> None:
     parser.add_argument("--max-seqs", type=int, default=64)
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--chunked-prefill", action="store_true")
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (env vars are too late: jax may be "
+             "preimported with an accelerator platform)",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",

@@ -27,8 +27,14 @@ def main() -> None:
     parser.add_argument(
         "--port", type=int, default=int(os.environ.get("SERVER_PORT", "8080"))
     )
+    parser.add_argument("--cpu", action="store_true")
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     logging.basicConfig(
         level=logging.DEBUG if args.verbose else logging.INFO,

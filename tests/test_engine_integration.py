@@ -271,3 +271,42 @@ class TestInt8KvService:
         assert len(quant) >= 1
         # Greedy paths agree at least initially (tiny random model, fp32).
         assert dense[0] == quant[0]
+
+
+class TestLongContextPressure:
+    def test_long_prompts_chunked_prefill_with_preemption(self):
+        """BASELINE config #4 shape at test scale: prompts far over the
+        per-step budget under a tight block pool — chunked prefill + swap /
+        recompute preemption must still complete every request."""
+        async def scenario():
+            service = make_service(
+                enable_chunked_prefill=True,
+                max_num_batched_tokens=64,
+                max_num_sequences=8,
+                max_model_len=1024,
+            )
+            # Tighten the device pool so decode forces preemption.
+            task = asyncio.create_task(service.engine.run())
+            futs = []
+            for i in range(6):
+                fut = await service.handle_request(
+                    GenerateRequest(
+                        request_id=f"long-{i}",
+                        inputs="y" * 200,
+                        parameters=GenerateParameters(max_new_tokens=6),
+                    )
+                )
+                futs.append(fut)
+            results = await asyncio.wait_for(asyncio.gather(*futs), timeout=180)
+            service.stop()
+            task.cancel()
+            # All blocks reclaimed after completion (leak check — the verify
+            # skill's library invariant).
+            free = service.engine.scheduler.block_manager.get_num_free_device_blocks()
+            return results, free
+
+        results, free = run(scenario())
+        assert len(results) == 6
+        for r in results:
+            assert 1 <= len(r.outputs[0].token_ids) <= 6
+        assert free == 128  # full pool back
