@@ -20,9 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.kv_cache import (
-    copy_blocks_jit,
-    gather_blocks_jit,
-    scatter_blocks_jit,
+    copy_blocks_layer_jit,
+    gather_blocks_layer_jit,
+    scatter_blocks_layer_jit,
 )
 
 logger = logging.getLogger(__name__)
@@ -51,20 +51,22 @@ class CacheEngine:
         self.num_host_blocks = num_host_blocks
         self.dtype = dtype
 
-        shape = (
-            num_layers,
-            num_device_blocks * block_size,
-            2,
-            num_kv_heads,
-            head_dim,
-        )
-        kv = jnp.zeros(shape, dtype=dtype)
-        if sharding is not None:
-            kv = jax.device_put(kv, sharding)
-        self.kv_cache = kv
+        row = 2 * num_kv_heads * head_dim
+        # Per-layer arrays (NOT one stacked array): the model's unrolled
+        # layer loop touches each layer's cache by static identity so XLA
+        # keeps every buffer donated and in place — a stacked array would be
+        # sliced/re-stacked with full copies each step.
+        def layer_array():
+            kv = jnp.zeros((num_device_blocks, block_size, row), dtype=dtype)
+            return jax.device_put(kv, sharding) if sharding is not None else kv
+
+        self.kv_cache = tuple(layer_array() for _ in range(num_layers))
         # INT8 KV mode: per-(slot, K/V) dequantization scales.
         self.kv_scales = (
-            jnp.zeros(shape[:3], dtype=jnp.float32)
+            tuple(
+                jnp.zeros((num_device_blocks, block_size, 2), jnp.float32)
+                for _ in range(num_layers)
+            )
             if dtype == jnp.int8
             else None
         )
@@ -75,17 +77,13 @@ class CacheEngine:
             else np.float16
         )
         self.host_cache = np.zeros(
-            (
-                num_layers,
-                num_host_blocks * block_size,
-                2,
-                num_kv_heads,
-                head_dim,
-            ),
+            (num_layers, num_host_blocks, block_size, row),
             dtype=host_dtype,
         ) if num_host_blocks > 0 else None
         self.host_scales = (
-            np.zeros((num_layers, num_host_blocks * block_size, 2), np.float32)
+            np.zeros(
+                (num_layers, num_host_blocks, block_size, 2), np.float32
+            )
             if num_host_blocks > 0 and dtype == jnp.int8
             else None
         )
@@ -103,22 +101,18 @@ class CacheEngine:
         if not mapping or self.host_cache is None:
             return
         dev_ids = [src for src, _ in mapping]
-        data = np.asarray(
-            gather_blocks_jit(self.kv_cache, dev_ids, self.block_size)
-        )
-        sdata = (
-            np.asarray(
-                gather_blocks_jit(self.kv_scales, dev_ids, self.block_size)
+        for layer in range(self.num_layers):
+            data = np.asarray(
+                gather_blocks_layer_jit(self.kv_cache[layer], dev_ids)
             )
-            if self.kv_scales is not None
-            else None
-        )
-        for i, (_, dst) in enumerate(mapping):
-            rows = slice(dst * self.block_size, (dst + 1) * self.block_size)
-            src_rows = slice(i * self.block_size, (i + 1) * self.block_size)
-            self.host_cache[:, rows] = data[:, src_rows]
-            if sdata is not None:
-                self.host_scales[:, rows] = sdata[:, src_rows]
+            for i, (_, dst) in enumerate(mapping):
+                self.host_cache[layer, dst] = data[i]
+            if self.kv_scales is not None:
+                sdata = np.asarray(
+                    gather_blocks_layer_jit(self.kv_scales[layer], dev_ids)
+                )
+                for i, (_, dst) in enumerate(mapping):
+                    self.host_scales[layer, dst] = sdata[i]
 
     def swap_in(self, mapping: List[Tuple[int, int]]) -> None:
         """Host→device block copies (ref: worker.rs:616-630).
@@ -127,27 +121,30 @@ class CacheEngine:
         """
         if not mapping or self.host_cache is None:
             return
-        chunks = []
-        schunks = []
-        for src, _ in mapping:
-            rows = slice(src * self.block_size, (src + 1) * self.block_size)
-            chunks.append(self.host_cache[:, rows])
-            if self.host_scales is not None:
-                schunks.append(self.host_scales[:, rows])
-        data = jnp.asarray(
-            np.concatenate(chunks, axis=1), dtype=self.dtype
-        )
+        src_ids = [src for src, _ in mapping]
         dev_ids = [dst for _, dst in mapping]
-        self.kv_cache = scatter_blocks_jit(
-            self.kv_cache, dev_ids, data, self.block_size
-        )
-        if schunks:
-            self.kv_scales = scatter_blocks_jit(
-                self.kv_scales,
-                dev_ids,
-                jnp.asarray(np.concatenate(schunks, axis=1)),
-                self.block_size,
+        new_cache = []
+        new_scales = []
+        for layer in range(self.num_layers):
+            data = jnp.asarray(
+                np.stack([self.host_cache[layer, s] for s in src_ids]),
+                dtype=self.dtype,
             )
+            new_cache.append(
+                scatter_blocks_layer_jit(self.kv_cache[layer], dev_ids, data)
+            )
+            if self.host_scales is not None:
+                sdata = jnp.asarray(
+                    np.stack([self.host_scales[layer, s] for s in src_ids])
+                )
+                new_scales.append(
+                    scatter_blocks_layer_jit(
+                        self.kv_scales[layer], dev_ids, sdata
+                    )
+                )
+        self.kv_cache = tuple(new_cache)
+        if new_scales:
+            self.kv_scales = tuple(new_scales)
 
     def copy(self, pairs: List[Tuple[int, int]], max_pairs_bucket: int = 16) -> None:
         """Copy-on-write block duplication (ref: worker.rs:632-642).
@@ -161,13 +158,13 @@ class CacheEngine:
         while n < len(pairs):
             n *= 2
         padded = np.full((n, 2), -1, dtype=np.int32)
-        padded[: len(pairs)] = pairs
-        self.kv_cache = copy_blocks_jit(
-            self.kv_cache, jnp.asarray(padded), self.block_size
+        pj = jnp.asarray(padded)
+        self.kv_cache = tuple(
+            copy_blocks_layer_jit(c, pj) for c in self.kv_cache
         )
         if self.kv_scales is not None:
-            self.kv_scales = copy_blocks_jit(
-                self.kv_scales, jnp.asarray(padded), self.block_size
+            self.kv_scales = tuple(
+                copy_blocks_layer_jit(s, pj) for s in self.kv_scales
             )
 
     @property

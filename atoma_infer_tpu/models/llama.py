@@ -170,12 +170,22 @@ class Llama:
         params: Dict[str, Any],
         token_ids: jnp.ndarray,   # [T] int32 flattened batch
         positions: jnp.ndarray,   # [T] int32 per-token positions
-        kv_cache: jnp.ndarray,    # [L, num_slots, 2, Hk, D] (K/V fused)
+        kv_cache,                 # tuple of L × [num_pages, bs, 2·Hk·D]
+                                  # page-major, or one stacked [L, ...] array
         attn_meta: AttentionMetadata,
-        kv_scales: "jnp.ndarray | None" = None,  # [L, num_slots, 2] (int8 KV)
+        kv_scales=None,           # tuple of L × [num_pages, bs, 2] (int8 KV)
     ):
         """Returns (hidden [T, H], updated kv_cache) — plus updated
-        kv_scales when the cache is INT8-quantized."""
+        kv_scales when the cache is INT8-quantized.
+
+        The layer loop is UNROLLED over per-layer cache arrays: scanning with
+        the cache as scan xs/ys makes XLA materialize an 80MB-per-layer cache
+        copy with a layout transpose each step (measured ~7ms/layer on v5e —
+        the dominant cost of a decode step). Per-layer arrays touched by
+        static python indexing keep the cache buffers donated and in place.
+        A stacked array input is accepted for convenience (tests) and split
+        here.
+        """
         cfg = self.config
         h = params["embed"][token_ids].astype(self.dtype)
 
@@ -183,12 +193,15 @@ class Llama:
         scale = cfg.head_dim**-0.5
         quantized_kv = kv_scales is not None
 
-        def layer_fn(carry, xs):
-            hidden = carry
-            if quantized_kv:
-                lp, kv_c, sc_c = xs
-            else:
-                lp, kv_c = xs
+        stacked_in = not isinstance(kv_cache, (tuple, list))
+        if stacked_in:
+            kv_cache = tuple(kv_cache[i] for i in range(cfg.num_layers))
+            if quantized_kv and not isinstance(kv_scales, (tuple, list)):
+                kv_scales = tuple(
+                    kv_scales[i] for i in range(cfg.num_layers)
+                )
+
+        def layer_fn(hidden, lp, kv_c, sc_c):
             # Attention block (ref: llama.rs:218-320).
             normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
             q = _linear(normed, lp["q_proj"]).reshape(
@@ -210,6 +223,7 @@ class Llama:
                 )
             else:
                 kv_c = write_kv_cache(kv_c, kk, vv, attn_meta.slot_mapping)
+                sc_c = None
             attn = ragged_paged_attention(
                 q,
                 kv_c,
@@ -225,19 +239,28 @@ class Llama:
             gate = _linear(normed, lp["gate_proj"])
             up = _linear(normed, lp["up_proj"])
             hidden = hidden + _linear(jax.nn.silu(gate) * up, lp["down_proj"])
-            if quantized_kv:
-                return hidden, (kv_c, sc_c)
-            return hidden, kv_c
+            return hidden, kv_c, sc_c
+
+        new_kv = []
+        new_scales = []
+        for i in range(cfg.num_layers):
+            lp = jax.tree_util.tree_map(lambda x: x[i], params["layers"])
+            h, kv_c, sc_c = layer_fn(
+                h,
+                lp,
+                kv_cache[i],
+                kv_scales[i] if quantized_kv else None,
+            )
+            new_kv.append(kv_c)
+            new_scales.append(sc_c)
 
         if quantized_kv:
-            h, (kv_cache, kv_scales) = jax.lax.scan(
-                layer_fn, h, (params["layers"], kv_cache, kv_scales)
-            )
-            return h, kv_cache, kv_scales
-        h, kv_cache = jax.lax.scan(
-            layer_fn, h, (params["layers"], kv_cache)
-        )
-        return h, kv_cache
+            if stacked_in:
+                return h, jnp.stack(new_kv), jnp.stack(new_scales)
+            return h, tuple(new_kv), tuple(new_scales)
+        if stacked_in:
+            return h, jnp.stack(new_kv)
+        return h, tuple(new_kv)
 
     def compute_logits(
         self,
@@ -265,16 +288,16 @@ class Llama:
     # -- cache shape contract ---------------------------------------------------
     def kv_cache_shape(
         self, num_blocks: int, block_size: int
-    ) -> Tuple[int, int, int, int, int]:
-        """Fused K/V cache shape [L, slots, 2, Hk, D] — the TPU-native analog
-        of the reference's per-layer ``[2, blocks, block_size, kv_heads, dim]``
-        contract (flash_attention.rs:239-246), with K/V fused per slot so the
-        attention kernel fetches both in one DMA per page."""
+    ) -> Tuple[int, int, int, int]:
+        """Fused page-major K/V cache shape [L, pages, bs, 2·Hk·D] — the
+        TPU-native analog of the reference's per-layer
+        ``[2, blocks, block_size, kv_heads, dim]`` contract
+        (flash_attention.rs:239-246). Page-major rows keep every kernel DMA
+        whole-page and the minor dim unpadded (see ops/kv_cache.py)."""
         cfg = self.config
         return (
             cfg.num_layers,
-            num_blocks * block_size,
-            2,
-            cfg.num_key_value_heads,
-            cfg.head_dim,
+            num_blocks,
+            block_size,
+            2 * cfg.num_key_value_heads * cfg.head_dim,
         )

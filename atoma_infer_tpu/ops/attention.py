@@ -81,10 +81,10 @@ def _pallas_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
     be 128 multiples and pages 8-row multiples. Tiny test models fall back to
     the XLA path."""
     T, Hq, D = q.shape
-    Hk = kv_cache.shape[2]
+    row = kv_cache.shape[2]
     return (
         (Hq * D) % 128 == 0
-        and (2 * Hk * D) % 128 == 0
+        and row % 128 == 0
         and meta.block_size % 8 == 0
         and T % 8 == 0
     )
@@ -99,13 +99,13 @@ def set_attention_backend(name: str) -> None:
 
 def ragged_paged_attention(
     q: jnp.ndarray,         # [T, num_q_heads, head_dim]
-    kv_cache: jnp.ndarray,  # [num_slots, 2, num_kv_heads, head_dim]
+    kv_cache: jnp.ndarray,  # [num_pages, block_size, 2·Hk·D] (page-major)
     meta: AttentionMetadata,
     *,
     scale: float,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
-    kv_scales: Optional[jnp.ndarray] = None,  # [num_slots, 2] f32 (int8 cache)
+    kv_scales: Optional[jnp.ndarray] = None,  # [pages, bs, 2] f32 (int8 cache)
 ) -> jnp.ndarray:
     """Unified prefill+decode attention over the paged cache → [T, Hq, D]."""
     if kv_scales is None and _use_pallas() and _pallas_supported(q, kv_cache, meta):
@@ -119,10 +119,18 @@ def ragged_paged_attention(
             sliding_window=sliding_window,
             soft_cap=soft_cap,
         )
+    # XLA fallback: split the page-major rows into logical K/V views (free
+    # on CPU; the Pallas path above never materializes this).
+    from .kv_cache import kv_cache_view
+
+    D = q.shape[2]
+    Hk = kv_cache.shape[2] // (2 * D)
+    k_view, v_view = kv_cache_view(kv_cache, Hk, D)
+    num_slots = k_view.shape[0]
     return reference.ragged_paged_attention_xla(
         q,
-        kv_cache[:, 0],
-        kv_cache[:, 1],
+        k_view,
+        v_view,
         meta.block_tables,
         meta.seq_lens,
         meta.query_start_loc,
@@ -130,6 +138,8 @@ def ragged_paged_attention(
         block_size=meta.block_size,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
-        k_scale=None if kv_scales is None else kv_scales[:, 0],
-        v_scale=None if kv_scales is None else kv_scales[:, 1],
+        k_scale=None if kv_scales is None
+        else kv_scales.reshape(num_slots, 2)[:, 0],
+        v_scale=None if kv_scales is None
+        else kv_scales.reshape(num_slots, 2)[:, 1],
     )

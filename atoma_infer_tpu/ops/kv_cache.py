@@ -3,17 +3,24 @@
 TPU-native replacements for the reference's cache kernels
 (ref: csrc/kernels/cache_manager.cu): ``write_kv_cache`` replaces
 ``reshape_and_cache_flash_kernel`` (:140-185), ``copy_blocks`` replaces
-``copy_blocks_kernel`` (:15-37), and host swap uses ``jax.device_put`` of
-block slices instead of cudaMemcpy H2D/D2H (csrc/src/cache_manager.rs:18-128).
+``copy_blocks_kernel`` (:15-37), and host swap uses device gathers instead of
+cudaMemcpy H2D/D2H (csrc/src/cache_manager.rs:18-128).
 
-Cache layout (slot-major, K/V fused): ``[num_blocks * block_size, 2, Hk, D]``
-per layer — page ``p`` occupies rows ``[p·block_size, (p+1)·block_size)``;
-index 0/1 of axis 1 selects K/V. Fusing K and V into one array halves the
-number of DMA descriptors the paged-attention kernel issues per page (the
-kernel's bottleneck at small pages) and makes the cache write a single XLA
-scatter. A flat slot index (``block_number·block_size + offset``, the
-reference's slot_mapping contract, worker.rs:373-401) addresses a row
-directly.
+Cache layout (PAGE-major, K/V fused): ``[num_pages, block_size, 2·Hk·D]``
+per layer — chosen so that on TPU:
+- every kernel DMA moves whole pages via leading-dim indexing (``.at[page]``),
+  which Mosaic always allows (arbitrary-offset row slices are not);
+- the minor dim 2·Hk·D is a 128 multiple → no tile padding (the "obvious"
+  ``[slots, 2, Hk, D]`` layout pads head_dim 64→128, doubling HBM and making
+  every kernel-boundary reshape an 80MB copy — measured as the dominant cost
+  of a decode step);
+- K and V of a token share one row, interleaved per head
+  (``[K_h0 | V_h0 | K_h1 | V_h1 | …]``): one DMA per page fetches both, and
+  tensor-parallel sharding of the row dim keeps each head's K AND V on the
+  same shard.
+
+A flat slot index (``page·block_size + offset``, the reference's slot_mapping
+contract, worker.rs:373-401) addresses (row, offset) pairs.
 """
 
 from __future__ import annotations
@@ -33,102 +40,125 @@ def _dropped_pad(indices: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(indices < 0, _OOB, indices)
 
 
+def kv_rows(k_new: jnp.ndarray, v_new: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[T, Hk, D] K and V → fused rows [T, 2·Hk·D], head-interleaved
+    (``[K_h0 | V_h0 | K_h1 | V_h1 | …]``)."""
+    T, hk, d = k_new.shape
+    stacked = jnp.stack([k_new, v_new], axis=2)  # [T, Hk, 2, D]
+    return stacked.reshape(T, 2 * hk * d).astype(dtype)
+
+
+def kv_cache_view(kv_cache: jnp.ndarray, num_kv_heads: int, head_dim: int):
+    """Page-major cache → (k [slots, Hk, D], v [slots, Hk, D]) logical views
+    for the XLA fallback path (free on CPU; the Pallas kernels never call
+    this)."""
+    num_pages, bs, row = kv_cache.shape
+    flat = kv_cache.reshape(
+        num_pages * bs, num_kv_heads, 2, head_dim
+    )
+    return flat[:, :, 0], flat[:, :, 1]
+
+
 def write_kv_cache(
-    kv_cache: jnp.ndarray,  # [num_slots, 2, num_kv_heads, head_dim]
-    k_new: jnp.ndarray,     # [num_tokens, num_kv_heads, head_dim]
+    kv_cache: jnp.ndarray,  # [num_pages, block_size, 2·Hk·D]
+    k_new: jnp.ndarray,     # [num_tokens, Hk, D]
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,  # [num_tokens] int32, PAD_SLOT_ID for padding
 ) -> jnp.ndarray:
     """Scatter this step's K/V rows into their assigned slots.
 
-    On TPU this dispatches to the Pallas per-row DMA kernel (ops/kv_write.py)
-    — XLA's scatter lowering costs ~100× roofline there; elsewhere it is a
-    single XLA scatter.
+    On TPU this dispatches to the Pallas page read-modify-write kernel
+    (ops/kv_write.py); elsewhere it is a single XLA scatter over
+    (page, offset) indices.
     """
-    row_lanes = 2 * kv_cache.shape[2] * kv_cache.shape[3]
+    bs = kv_cache.shape[1]
     try:
         on_tpu = jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         on_tpu = False
-    if on_tpu and row_lanes % 128 == 0:
+    if on_tpu and kv_cache.shape[2] % 128 == 0:
         from .kv_write import write_kv_cache_pallas
 
         return write_kv_cache_pallas(kv_cache, k_new, v_new, slot_mapping)
+    rows = kv_rows(k_new, v_new, kv_cache.dtype)
     slots = _dropped_pad(slot_mapping)
-    kv_new = jnp.stack([k_new, v_new], axis=1).astype(kv_cache.dtype)
-    return kv_cache.at[slots].set(kv_new, mode="drop", indices_are_sorted=False)
-
-
-def copy_blocks(
-    kv_cache: jnp.ndarray,  # [num_layers, num_slots, 2, Hk, D]
-    copy_pairs: jnp.ndarray,  # [max_pairs, 2] int32 (src_block, dst_block), -1 pad
-    block_size: int,
-) -> jnp.ndarray:
-    """Copy-on-write block duplication across all layers on device.
-
-    Gathers source block rows and scatters them to destination rows in one
-    fused op (ref: cache_manager.cu:15-37 grid=(layers, pairs)).
-    """
-    offsets = jnp.arange(block_size, dtype=jnp.int32)
-    src_rows = (copy_pairs[:, 0:1] * block_size + offsets[None, :]).reshape(-1)
-    dst_rows = (copy_pairs[:, 1:2] * block_size + offsets[None, :]).reshape(-1)
-    # Source gather: clamp pad rows to 0 (their scatter is dropped anyway).
-    src_rows = jnp.maximum(src_rows, 0)
-    dst_rows = _dropped_pad(
-        jnp.where(copy_pairs[:, 1:2].repeat(block_size, 1).reshape(-1) < 0,
-                  -1, dst_rows)
+    return kv_cache.at[slots // bs, slots % bs].set(
+        rows, mode="drop", indices_are_sorted=False
     )
-    return kv_cache.at[:, dst_rows].set(kv_cache[:, src_rows], mode="drop")
-
-
-def gather_blocks(cache: jnp.ndarray, block_ids, block_size: int) -> jnp.ndarray:
-    """Pull whole blocks off the device (host-swap-out read side).
-
-    ``cache``: [num_layers, num_slots, ...]; returns
-    [num_layers, len(block_ids)·block_size, ...].
-    """
-    block_ids = jnp.asarray(block_ids, dtype=jnp.int32)
-    offsets = jnp.arange(block_size, dtype=jnp.int32)
-    rows = (block_ids[:, None] * block_size + offsets[None, :]).reshape(-1)
-    return cache[:, rows]
-
-
-def scatter_blocks(
-    cache: jnp.ndarray, block_ids, data: jnp.ndarray, block_size: int
-) -> jnp.ndarray:
-    """Write whole blocks into the device cache (host-swap-in write side)."""
-    block_ids = jnp.asarray(block_ids, dtype=jnp.int32)
-    offsets = jnp.arange(block_size, dtype=jnp.int32)
-    rows = (block_ids[:, None] * block_size + offsets[None, :]).reshape(-1)
-    return cache.at[:, rows].set(data.astype(cache.dtype))
-
-
-# Jitted entry points (donated caches → in-place updates on TPU).
-copy_blocks_jit = jax.jit(
-    copy_blocks, static_argnames=("block_size",), donate_argnums=(0,)
-)
-scatter_blocks_jit = jax.jit(
-    scatter_blocks, static_argnames=("block_size",), donate_argnums=(0,)
-)
-gather_blocks_jit = jax.jit(gather_blocks, static_argnames=("block_size",))
 
 
 def write_kv_cache_quant(
-    kv_cache: jnp.ndarray,   # [num_slots, 2, Hk, D] int8
-    kv_scales: jnp.ndarray,  # [num_slots, 2] f32
+    kv_cache: jnp.ndarray,   # [num_pages, block_size, 2·Hk·D] int8
+    kv_scales: jnp.ndarray,  # [num_pages, block_size, 2] f32
     k_new: jnp.ndarray,      # [T, Hk, D] float
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,
 ):
     """INT8 KV write: per-(token, K/V) symmetric absmax quantization
     (BASELINE config #3 — the reference has no KV quantization)."""
-    kv_new = jnp.stack([k_new, v_new], axis=1).astype(jnp.float32)  # [T,2,H,D]
-    absmax = jnp.max(jnp.abs(kv_new), axis=(2, 3))                  # [T,2]
+    bs = kv_cache.shape[1]
+    T = k_new.shape[0]
+    hk_d = k_new.shape[1] * k_new.shape[2]
+    kv_new = jnp.stack([k_new, v_new], axis=2).astype(
+        jnp.float32
+    )                                                       # [T, Hk, 2, D]
+    absmax = jnp.max(jnp.abs(kv_new), axis=(1, 3))          # [T, 2]
     scale = jnp.maximum(absmax / 127.0, 1e-8)
     q = jnp.clip(
-        jnp.round(kv_new / scale[:, :, None, None]), -127, 127
+        jnp.round(kv_new / scale[:, None, :, None]), -127, 127
     ).astype(jnp.int8)
+    rows = q.reshape(T, 2 * hk_d)
     slots = _dropped_pad(slot_mapping)
-    kv_cache = kv_cache.at[slots].set(q, mode="drop")
-    kv_scales = kv_scales.at[slots].set(scale.astype(kv_scales.dtype), mode="drop")
+    kv_cache = kv_cache.at[slots // bs, slots % bs].set(rows, mode="drop")
+    kv_scales = kv_scales.at[slots // bs, slots % bs].set(
+        scale.astype(kv_scales.dtype), mode="drop"
+    )
     return kv_cache, kv_scales
+
+
+def copy_blocks(
+    kv_cache: jnp.ndarray,  # [num_layers, num_pages, block_size, row]
+    copy_pairs: jnp.ndarray,  # [max_pairs, 2] int32 (src, dst), -1 pad
+) -> jnp.ndarray:
+    """Copy-on-write page duplication across all layers
+    (ref: cache_manager.cu:15-37 grid=(layers, pairs))."""
+    src = jnp.maximum(copy_pairs[:, 0], 0)
+    dst = _dropped_pad(copy_pairs[:, 1])
+    return kv_cache.at[:, dst].set(kv_cache[:, src], mode="drop")
+
+
+def gather_blocks(cache: jnp.ndarray, block_ids) -> jnp.ndarray:
+    """Pull whole pages off the device (host-swap-out read side):
+    [L, pages, ...] → [L, len(ids), ...]."""
+    return cache[:, jnp.asarray(block_ids, dtype=jnp.int32)]
+
+
+def scatter_blocks(cache: jnp.ndarray, block_ids, data: jnp.ndarray):
+    """Write whole pages into the device cache (host-swap-in write side)."""
+    ids = jnp.asarray(block_ids, dtype=jnp.int32)
+    return cache.at[:, ids].set(data.astype(cache.dtype))
+
+
+def copy_blocks_layer(cache: jnp.ndarray, copy_pairs: jnp.ndarray):
+    """Single-layer CoW page duplication ([pages, bs, row])."""
+    src = jnp.maximum(copy_pairs[:, 0], 0)
+    dst = _dropped_pad(copy_pairs[:, 1])
+    return cache.at[dst].set(cache[src], mode="drop")
+
+
+def gather_blocks_layer(cache: jnp.ndarray, block_ids) -> jnp.ndarray:
+    return cache[jnp.asarray(block_ids, dtype=jnp.int32)]
+
+
+def scatter_blocks_layer(cache: jnp.ndarray, block_ids, data: jnp.ndarray):
+    ids = jnp.asarray(block_ids, dtype=jnp.int32)
+    return cache.at[ids].set(data.astype(cache.dtype))
+
+
+# Jitted entry points (donated caches → in-place updates on TPU).
+copy_blocks_jit = jax.jit(copy_blocks, donate_argnums=(0,))
+scatter_blocks_jit = jax.jit(scatter_blocks, donate_argnums=(0,))
+gather_blocks_jit = jax.jit(gather_blocks)
+copy_blocks_layer_jit = jax.jit(copy_blocks_layer, donate_argnums=(0,))
+scatter_blocks_layer_jit = jax.jit(scatter_blocks_layer, donate_argnums=(0,))
+gather_blocks_layer_jit = jax.jit(gather_blocks_layer)

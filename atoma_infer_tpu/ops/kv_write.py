@@ -1,15 +1,19 @@
-"""Pallas KV-cache scatter-write (reshape_and_cache).
+"""Pallas KV-cache write (reshape_and_cache) — page read-modify-write.
 
-Replaces the XLA scatter for the per-step cache write — XLA's scatter
-lowering on TPU costs ~500µs for 64 rows (measured, ~100× over roofline);
-this kernel issues one small HBM→HBM DMA per token row instead
+Replaces the XLA scatter for the per-step cache write
 (ref: csrc/kernels/cache_manager.cu:140-185 ``reshape_and_cache_flash``).
+XLA's scatter costs ~100x roofline on TPU, and Mosaic DMA cannot address
+single cache rows (arbitrary-offset row slices violate sublane tiling), so
+the kernel works at PAGE granularity: for every page touched this step, DMA
+the page into VMEM, overwrite the written rows from the staged new-KV rows
+(VMEM stores may hit arbitrary rows), and DMA the page back.
 
-Layout trick: the fused cache ``[num_slots, 2·Hk·D]`` is addressed FLAT
-(1-D), so a row write is a 2·Hk·D-element slice at a 128-multiple offset —
-bf16 single-row 2-D slices would violate Mosaic's sublane packing. Padding
-tokens (slot −1) are redirected to a VMEM dump row so the semaphore
-bookkeeping stays static.
+Write amplification is 2*block_size/rows-written per page - decode pays
+~2*bs x on ~4KB rows (tens of us per layer), prefill amortizes to ~2x.
+
+The (page -> token rows) map is computed inside jit from slot_mapping:
+dedup pages by sort, rank tokens into their page's slot, scatter token
+indices into a [max_pages, block_size] source map (-1 = keep existing row).
 """
 
 from __future__ import annotations
@@ -21,108 +25,132 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .kv_cache import kv_rows
+
+
+def _build_page_map(slot_mapping: jnp.ndarray, block_size: int):
+    """Returns (page_ids [T], src_idx [T, block_size]): page_ids lists
+    distinct written pages (-1 pad); src_idx[w, r] is the token whose row
+    lands at (page_ids[w], r), or -1 to keep the existing row."""
+    T = slot_mapping.shape[0]
+    page = jnp.where(slot_mapping >= 0, slot_mapping // block_size, -1)
+    off = jnp.where(slot_mapping >= 0, slot_mapping % block_size, 0)
+
+    order = jnp.argsort(page)               # -1 pads sort first
+    sorted_pages = page[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_pages[1:] != sorted_pages[:-1]]
+    ) & (sorted_pages >= 0)
+    # Rank of each distinct page, in sorted order.
+    rank_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1  # [T]
+    page_ids = jnp.full((T,), -1, jnp.int32).at[
+        jnp.where(first, rank_sorted, T)
+    ].set(sorted_pages, mode="drop")
+
+    # Each token's page rank: scatter rank back through the sort order.
+    rank_of_token = jnp.zeros((T,), jnp.int32).at[order].set(rank_sorted)
+    valid = slot_mapping >= 0
+    w = jnp.where(valid, rank_of_token, T)
+    src_idx = jnp.full((T, block_size), -1, jnp.int32).at[w, off].set(
+        jnp.arange(T, dtype=jnp.int32), mode="drop"
+    )
+    return page_ids, src_idx
+
 
 def _kernel(
-    slot_ref,      # [T] int32 scalar prefetch (-1 = padding)
-    kvn_hbm,       # [T * R] flat new rows
-    cache_in,      # [num_slots * R] flat cache (aliased to output)
-    cache_out,     # [num_slots * R]
-    dump_vmem,     # [R] — sink for padding-token writes
-    sem,
+    # scalar prefetch
+    page_ids_ref,   # [W]
+    # inputs
+    kvn_ref,        # [T, R] VMEM - staged new rows
+    src_idx_ref,    # [W, block_size] SMEM scalars? -> VMEM ints
+    cache_in,       # [num_pages, bs, R] HBM (aliased)
+    cache_out,
+    # scratch
+    page_vmem,      # [2, bs, R]
+    sems,           # DMA [2]
     *,
-    num_tokens: int,
-    row_elems: int,
+    block_size: int,
 ):
-    R = row_elems
-    max_slot = cache_out.shape[0] // R - 1
+    w = pl.program_id(0)
+    page = page_ids_ref[w]
+    active = page >= 0
+    page_c = jnp.maximum(page, 0)
+    buf = w % 2
 
-    def issue(t, _):
-        slot = slot_ref[t]
-        active = slot >= 0
-        slot_c = jnp.clip(slot, 0, max_slot)
+    SUB = 16  # bf16 sublane tile: dynamic row reads must be 16-aligned
 
-        @pl.when(active)
-        def _():
-            pltpu.make_async_copy(
-                kvn_hbm.at[pl.ds(t * R, R)],
-                cache_out.at[pl.ds(slot_c * R, R)],
-                sem,
-            ).start()
+    @pl.when(active)
+    def _():
+        load = pltpu.make_async_copy(
+            cache_out.at[page_c], page_vmem.at[buf], sems.at[buf]
+        )
+        load.start()
+        load.wait()
+        for r in range(block_size):
+            src = src_idx_ref[w, r]
 
-        @pl.when(jnp.logical_not(active))
-        def _():
-            pltpu.make_async_copy(
-                kvn_hbm.at[pl.ds(t * R, R)],
-                dump_vmem,
-                sem,
-            ).start()
+            @pl.when(src >= 0)
+            def _():
+                # Mosaic cannot address a single dynamic VMEM row; read an
+                # aligned SUB-row window and mask-select the row.
+                src_c = jnp.maximum(src, 0)
+                base = pl.multiple_of((src_c // SUB) * SUB, SUB)
+                window = kvn_ref[pl.ds(base, SUB), :]  # [SUB, R]
+                rid = jax.lax.broadcasted_iota(jnp.int32, (SUB, 1), 0)
+                row = jnp.sum(
+                    jnp.where(
+                        rid == src_c % SUB,
+                        window.astype(jnp.float32),
+                        0.0,
+                    ),
+                    axis=0,
+                )
+                page_vmem[buf, r, :] = row.astype(page_vmem.dtype)
 
-        return 0
-
-    jax.lax.fori_loop(0, num_tokens, issue, 0)
-
-    def drain(t, _):
-        slot = slot_ref[t]
-        active = slot >= 0
-        slot_c = jnp.clip(slot, 0, max_slot)
-
-        @pl.when(active)
-        def _():
-            pltpu.make_async_copy(
-                kvn_hbm.at[pl.ds(t * R, R)],
-                cache_out.at[pl.ds(slot_c * R, R)],
-                sem,
-            ).wait()
-
-        @pl.when(jnp.logical_not(active))
-        def _():
-            pltpu.make_async_copy(
-                kvn_hbm.at[pl.ds(t * R, R)],
-                dump_vmem,
-                sem,
-            ).wait()
-
-        return 0
-
-    jax.lax.fori_loop(0, num_tokens, drain, 0)
+        store = pltpu.make_async_copy(
+            page_vmem.at[buf], cache_out.at[page_c], sems.at[buf]
+        )
+        store.start()
+        store.wait()
 
 
 def write_kv_cache_pallas(
-    kv_cache: jnp.ndarray,  # [num_slots, 2, Hk, D]
+    kv_cache: jnp.ndarray,  # [num_pages, block_size, R]
     k_new: jnp.ndarray,     # [T, Hk, D]
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,  # [T] int32, -1 padding
 ) -> jnp.ndarray:
-    num_slots, _, Hk, D = kv_cache.shape
+    num_pages, bs, R = kv_cache.shape
     T = k_new.shape[0]
-    R = 2 * Hk * D
-
-    kvn = jnp.concatenate(
-        [
-            k_new.reshape(T, Hk * D).astype(kv_cache.dtype),
-            v_new.reshape(T, Hk * D).astype(kv_cache.dtype),
-        ],
-        axis=1,
-    ).reshape(T * R)
-    cache_flat = kv_cache.reshape(num_slots * R)
+    kvn = kv_rows(k_new, v_new, kv_cache.dtype)
+    # Pad rows to the sublane tile so aligned window reads stay in bounds.
+    pad = (-T) % 16
+    if pad:
+        kvn = jnp.pad(kvn, ((0, pad), (0, 0)))
+    page_ids, src_idx = _build_page_map(slot_mapping, bs)
+    page_ids = jnp.clip(page_ids, -1, num_pages - 1)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, num_tokens=T, row_elems=R),
+        functools.partial(_kernel, block_size=bs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(1,),
+            grid=(T,),
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),  # kvn
-                pl.BlockSpec(memory_space=pl.ANY),  # cache
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # kvn
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # src_idx
+                pl.BlockSpec(memory_space=pl.ANY),      # cache
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((R,), kv_cache.dtype),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, bs, R), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((num_slots * R,), kv_cache.dtype),
-        input_output_aliases={2: 0},  # cache (input 2 incl. prefetch) updated in place
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(slot_mapping, kvn, cache_flat)
-    return out.reshape(num_slots, 2, Hk, D)
+        out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            has_side_effects=True,
+        ),
+    )(page_ids, kvn, src_idx, kv_cache)
+    return out

@@ -91,12 +91,12 @@ def _kernel(
     qsl_ref,          # [S+1]
     # tensor refs (HBM; q/o are entry-major so every DMA is tile-aligned)
     q_hbm,            # [W, BQ, Hq*D]
-    kv_hbm,           # [num_slots, 2*Hk*D] (K lanes first, then V)
+    kv_hbm,           # [num_pages_total, bs, 2*Hk*D] head-interleaved K|V
     o_hbm,            # [W, BQ, Hq*D]
     # scratch
     q_vmem,           # [BQ, Hq*D]
     qg_vmem,          # [Hq*BQ, D] — per-kv-head query groups, g-major rows
-    kv_vmem,          # [2, CHUNK, 2*Hk*D]
+    kv_vmem,          # [2, CP, bs, 2*Hk*D]
     o_vmem,           # [BQ, Hq*D]
     q_sem,
     kv_sems,          # DMA sems [2]
@@ -122,7 +122,7 @@ def _kernel(
     CP = pages_per_chunk
     CHUNK = CP * block_size
     num_pages = block_tables_ref.shape[1]
-    max_page = kv_hbm.shape[0] // block_size - 1
+    max_page = kv_hbm.shape[0] - 1
     Hq, Hk, D = num_q_heads, num_kv_heads, head_dim
     G = Hq // Hk
 
@@ -134,8 +134,8 @@ def _kernel(
         idx = jnp.minimum(chunk * CP + p, num_pages - 1)
         page = jnp.clip(block_tables_ref[s, idx], 0, max_page)
         return pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(page * block_size, block_size)],
-            kv_vmem.at[buf, pl.ds(p * block_size, block_size)],
+            kv_hbm.at[page],
+            kv_vmem.at[buf, p],
             kv_sems.at[buf],
         )
 
@@ -146,10 +146,9 @@ def _kernel(
     def wait_chunk(buf, chunk):
         # All CP page copies signal the same semaphore; one wait sized to the
         # whole chunk buffer (DMA waits count destination bytes) replaces CP
-        # per-descriptor waits — descriptor construction is the scalar-core
-        # bottleneck of the DMA path.
+        # per-descriptor waits.
         pltpu.make_async_copy(
-            kv_hbm.at[pl.ds(0, CHUNK)],
+            kv_hbm.at[pl.ds(0, CP)],
             kv_vmem.at[buf],
             kv_sems.at[buf],
         ).wait()
@@ -191,7 +190,7 @@ def _kernel(
 
             wait_chunk(buf, j)
 
-            kv_all = kv_vmem[buf]
+            kv_all = kv_vmem[buf].reshape(CHUNK, 2 * Hk * D)
 
             col = j * CHUNK + jax.lax.broadcasted_iota(
                 jnp.int32, (1, CHUNK), 1
@@ -202,8 +201,9 @@ def _kernel(
 
             new_carry = []
             for h in range(Hk):
-                kh = kv_all[:, h * D : (h + 1) * D]  # [CHUNK, D]
-                vh = kv_all[:, Hk * D + h * D : Hk * D + (h + 1) * D]
+                # Head-interleaved rows: [K_h | V_h] at lanes [h·2D, (h+1)·2D).
+                kh = kv_all[:, h * 2 * D : h * 2 * D + D]  # [CHUNK, D]
+                vh = kv_all[:, h * 2 * D + D : (h + 1) * 2 * D]
                 m, l, acc = carry[h]
                 sc = (
                     jax.lax.dot_general(
@@ -255,7 +255,7 @@ def _kernel(
 
 def ragged_paged_attention_pallas(
     q: jnp.ndarray,         # [T, Hq, D]
-    kv_cache: jnp.ndarray,  # [num_slots, 2, Hk, D] (K/V fused per slot)
+    kv_cache: jnp.ndarray,  # [num_pages, block_size, 2*Hk*D] (page-major)
     meta: AttentionMetadata,
     *,
     scale: float,
@@ -267,7 +267,8 @@ def ragged_paged_attention_pallas(
 ) -> jnp.ndarray:
     """Unified prefill+decode paged attention on TPU. Returns [T, Hq, D]."""
     T, Hq, D = q.shape
-    num_slots, _, Hk, _ = kv_cache.shape
+    num_pages_total, bs_cache, row = kv_cache.shape
+    Hk = row // (2 * D)
     S = meta.seq_lens.shape[0]
     P = meta.block_tables.shape[1]
     bs = meta.block_size
@@ -281,11 +282,12 @@ def ragged_paged_attention_pallas(
         qsl, meta.num_seqs, block_q=BQ, num_entries=W
     )
 
+    assert bs_cache == bs, (bs_cache, bs)
     # Entry-major q windows [W, BQ, Hq*D]: every kernel DMA is then statically
     # tile-aligned (arbitrary ragged row offsets are not), and entry output
-    # windows are disjoint. 2D lane dim Hq*D keeps DMAs 128-aligned.
+    # windows are disjoint. The page-major cache is consumed directly — no
+    # reshape, no copies.
     q2 = q.reshape(T, Hq * D)
-    kv2 = kv_cache.reshape(num_slots, 2 * Hk * D)
 
     base_row = qsl[jnp.clip(entry_seq, 0, S - 1)] + entry_qb * BQ  # [W]
     row_idx = base_row[:, None] + jnp.arange(BQ, dtype=jnp.int32)[None, :]
@@ -303,7 +305,7 @@ def ragged_paged_attention_pallas(
         scratch_shapes=[
             pltpu.VMEM((BQ, Hq * D), q.dtype),      # q entry window
             pltpu.VMEM((Hq * BQ, D), q.dtype),      # per-kv-head q groups
-            pltpu.VMEM((2, CP * bs, 2 * Hk * D), kv_cache.dtype),
+            pltpu.VMEM((2, CP, bs, 2 * Hk * D), kv_cache.dtype),
             pltpu.VMEM((BQ, Hq * D), q.dtype),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
@@ -341,7 +343,7 @@ def ragged_paged_attention_pallas(
         meta.seq_lens,
         qsl,
         q_entries,
-        kv2,
+        kv_cache,
     )
 
     # Reassemble token-major output from the disjoint entry windows.

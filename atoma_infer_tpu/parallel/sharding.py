@@ -84,9 +84,10 @@ def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    """KV cache [L, slots, 2, Hk, D] sharded over kv heads
-    (ref: worker.rs:584-591)."""
-    return NamedSharding(mesh, P(None, None, None, TP_AXIS, None))
+    """Page-major KV cache [L, pages, bs, 2·Hk·D] sharded over the
+    head-interleaved row dim — each shard holds its kv heads' K and V
+    (ref: worker.rs:584-591 divides kv heads by world size)."""
+    return NamedSharding(mesh, P(None, None, None, TP_AXIS))
 
 
 def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:

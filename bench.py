@@ -66,8 +66,11 @@ def main() -> None:
     pages_per_seq = (ctx + steps) // block_size + 1
     num_blocks = S * pages_per_seq + 8
 
-    kv_cache = jnp.zeros(
-        model.kv_cache_shape(num_blocks, block_size), dtype=jnp.bfloat16
+    # Per-layer cache tuple: keeps every buffer donated in place (a stacked
+    # array costs full-cache copies per step).
+    L, P_, bs_, row_ = model.kv_cache_shape(num_blocks, block_size)
+    kv_cache = tuple(
+        jnp.zeros((P_, bs_, row_), dtype=jnp.bfloat16) for _ in range(L)
     )
     rng = np.random.default_rng(0)
     perm = rng.permutation(num_blocks - 1)[: S * pages_per_seq] + 1
@@ -104,14 +107,22 @@ def main() -> None:
     run = jax.jit(decode_loop, static_argnames=("n_steps",), donate_argnums=(1,))
 
     tokens0 = jnp.zeros((S,), jnp.int32)
-    # Warm up (compile) with a short loop.
+    # Warm up (compile); time by fetching data — through the remote tunnel
+    # block_until_ready does not reliably wait, and repeat dispatches of
+    # identical computations are cached, so the loop is chained (tokens feed
+    # the next step) and a short-run baseline is subtracted.
     t, kv_cache = run(params, kv_cache, tokens0, 2)
-    t.block_until_ready()
+    np.asarray(t)
 
     t0 = time.perf_counter()
-    t, kv_cache = run(params, kv_cache, t, steps)
-    t.block_until_ready()
-    dt = time.perf_counter() - t0
+    t, kv_cache = run(params, kv_cache, t, 2)
+    np.asarray(t)
+    base = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    t, kv_cache = run(params, kv_cache, t, 2 + steps)
+    np.asarray(t)
+    dt = max(time.perf_counter() - t0 - base, 1e-9)
 
     tokens_per_s = S * steps / dt
     print(

@@ -32,8 +32,7 @@ def _build_paged_cache(keys_list, values_list, num_blocks, rng, shuffle=True):
     block assignment. Returns (k_cache, v_cache, block_tables, seq_lens) where
     k/v are views of the fused [slots, 2, H, D] array."""
     num_kv_heads, head_dim = keys_list[0].shape[1:]
-    num_slots = num_blocks * BLOCK_SIZE
-    kv_cache = jnp.zeros((num_slots, 2, num_kv_heads, head_dim))
+    kv_cache = jnp.zeros((num_blocks, BLOCK_SIZE, 2 * num_kv_heads * head_dim))
     free = list(range(num_blocks))
     if shuffle:
         rng.shuffle(free)
@@ -52,7 +51,10 @@ def _build_paged_cache(keys_list, values_list, num_blocks, rng, shuffle=True):
         tables.append(pages + [0] * (max_pages - n_pages))
     block_tables = jnp.asarray(tables, dtype=jnp.int32)
     seq_lens = jnp.asarray([k.shape[0] for k in keys_list], dtype=jnp.int32)
-    return kv_cache[:, 0], kv_cache[:, 1], block_tables, seq_lens
+    from atoma_infer_tpu.ops.kv_cache import kv_cache_view
+
+    k_view, v_view = kv_cache_view(kv_cache, num_kv_heads, head_dim)
+    return k_view, v_view, block_tables, seq_lens
 
 
 @pytest.mark.parametrize("num_q_heads,num_kv_heads", [(4, 4), (8, 2)])
@@ -174,41 +176,38 @@ def test_sliding_window_mask():
 
 
 def test_write_kv_cache_drops_padding():
-    kv_cache = jnp.zeros((32, 2, 2, 8))
+    bs = 8
+    kv_cache = jnp.zeros((4, bs, 2 * 2 * 8))  # 4 pages, Hk=2, D=8
     k_new = jnp.ones((4, 2, 8))
     v_new = 2 * jnp.ones((4, 2, 8))
     slots = jnp.asarray([3, 17, -1, -1], dtype=jnp.int32)
     kv_cache = write_kv_cache(kv_cache, k_new, v_new, slots)
-    assert float(kv_cache[3, 0].sum()) == 16.0
-    assert float(kv_cache[17, 0].sum()) == 16.0
-    assert float(kv_cache[:, 0].sum()) == 32.0  # nothing else written
-    assert float(kv_cache[:, 1].sum()) == 64.0
+    row = np.asarray(kv_cache).reshape(4, bs, 2, 2, 8)  # [p, r, Hk, KV, D]
+    assert float(row[0, 3, :, 0].sum()) == 16.0   # slot 3 → page 0 row 3, K
+    assert float(row[2, 1, :, 0].sum()) == 16.0   # slot 17 → page 2 row 1, K
+    assert float(row[..., 0, :].sum()) == 32.0    # all K
+    assert float(row[..., 1, :].sum()) == 64.0    # all V
 
 
 def test_copy_blocks():
-    L, nblocks, H, D = 2, 4, 2, 8
-    kv = jnp.arange(
-        L * nblocks * BLOCK_SIZE * 2 * H * D, dtype=jnp.float32
-    ).reshape(L, nblocks * BLOCK_SIZE, 2, H, D)
+    L, nblocks, row = 2, 4, 32
+    kv = jnp.arange(L * nblocks * BLOCK_SIZE * row, dtype=jnp.float32).reshape(
+        L, nblocks, BLOCK_SIZE, row
+    )
     pairs = jnp.asarray([[0, 3], [-1, -1]], dtype=jnp.int32)
-    kv2 = copy_blocks(kv, pairs, BLOCK_SIZE)
-    np.testing.assert_array_equal(
-        kv2[:, 3 * BLOCK_SIZE : 4 * BLOCK_SIZE], kv[:, 0:BLOCK_SIZE]
-    )
-    # Block 1 and 2 untouched.
-    np.testing.assert_array_equal(
-        kv2[:, BLOCK_SIZE : 3 * BLOCK_SIZE], kv[:, BLOCK_SIZE : 3 * BLOCK_SIZE]
-    )
+    kv2 = copy_blocks(kv, pairs)
+    np.testing.assert_array_equal(kv2[:, 3], kv[:, 0])
+    np.testing.assert_array_equal(kv2[:, 1:3], kv[:, 1:3])  # untouched
 
 
 def test_pallas_kv_write_matches_scatter():
-    """Pallas per-row DMA cache write vs the XLA scatter (interpret mode)."""
+    """Pallas page-RMW cache write vs the XLA scatter (interpret mode)."""
     from jax.experimental.pallas import tpu as pltpu
 
     from atoma_infer_tpu.ops.kv_write import write_kv_cache_pallas
 
     rng = np.random.RandomState(0)
-    kv = jnp.zeros((64, 2, 2, 32), jnp.float32)
+    kv = jnp.zeros((8, 8, 2 * 2 * 32), jnp.float32)  # 8 pages × bs 8, Hk2 D32
     k_new = jnp.asarray(rng.randn(8, 2, 32), jnp.float32)
     v_new = jnp.asarray(rng.randn(8, 2, 32), jnp.float32)
     slots = jnp.asarray([5, 63, -1, 17, 0, -1, 33, 12], jnp.int32)

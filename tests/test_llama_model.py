@@ -94,8 +94,8 @@ def test_prefill_logits_match_hf(tiny_hf_model):
         hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
 
     num_blocks = 8
-    kv_cache = jnp.zeros((cfg.num_layers, num_blocks * BLOCK_SIZE, 2,
-                          cfg.num_kv_heads, cfg.head_dim), dtype=jnp.float32)
+    kv_cache = jnp.zeros(model.kv_cache_shape(num_blocks, BLOCK_SIZE),
+                         dtype=jnp.float32)
     meta = make_meta([T], [T], [[3, 5]])  # non-contiguous pages on purpose
     hidden, kv_cache = model.forward(
         params,
@@ -120,8 +120,7 @@ def test_decode_matches_prefill(tiny_hf_model):
     rng = np.random.RandomState(1)
     token_ids = rng.randint(0, TINY_CFG["vocab_size"], size=T)
     num_blocks = 8
-    shape = (cfg.num_layers, num_blocks * BLOCK_SIZE, 2, cfg.num_kv_heads,
-             cfg.head_dim)
+    shape = model.kv_cache_shape(num_blocks, BLOCK_SIZE)
 
     # Full prefill in one go.
     kv1 = jnp.zeros(shape, jnp.float32)
@@ -185,8 +184,7 @@ def test_llama3_rope_scaling_matches_hf(tmp_path):
     with torch.no_grad():
         hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
 
-    kv = jnp.zeros((cfg.num_layers, 8 * BLOCK_SIZE, 2, cfg.num_kv_heads,
-                    cfg.head_dim), jnp.float32)
+    kv = jnp.zeros(model.kv_cache_shape(8, BLOCK_SIZE), jnp.float32)
     meta = make_meta([T], [T], [[0, 1, 2, 7]])
     hidden, _ = model.forward(
         params, jnp.asarray(token_ids, jnp.int32),

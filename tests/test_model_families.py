@@ -38,10 +38,7 @@ def run_ours(model_dir, T, token_ids):
     model_cls = get_model_cls(cfg.architecture)
     model = model_cls(cfg, dtype=jnp.float32)
     params = load_llama_params(model_dir, cfg, dtype=jnp.float32)
-    kv = jnp.zeros(
-        (cfg.num_layers, 8 * BLOCK_SIZE, 2, cfg.num_kv_heads, cfg.head_dim),
-        jnp.float32,
-    )
+    kv = jnp.zeros(model.kv_cache_shape(8, BLOCK_SIZE), jnp.float32)
     hidden, _ = model.forward(
         params,
         jnp.asarray(token_ids, jnp.int32),

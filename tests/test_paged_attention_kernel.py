@@ -56,10 +56,9 @@ def make_case(
         qsl[i + 1] = qsl[i] + q_len
     qsl[len(seq_specs) + 1 :] = qsl[len(seq_specs)]
 
-    num_slots = num_blocks * block_size
     q = rng.standard_normal((T, num_q_heads, head_dim)).astype(np.float32)
     kv_cache = rng.standard_normal(
-        (num_slots, 2, num_kv_heads, head_dim)
+        (num_blocks, block_size, 2 * num_kv_heads * head_dim)
     ).astype(np.float32)
 
     meta = AttentionMetadata(
@@ -82,10 +81,15 @@ def run_both(q, kv_cache, meta, **kw):
     got = ragged_paged_attention_pallas(
         q, kv_cache, meta, scale=scale, interpret=True, **kw
     )
+    from atoma_infer_tpu.ops.kv_cache import kv_cache_view
+
+    D = q.shape[2]
+    Hk = kv_cache.shape[2] // (2 * D)
+    k_view, v_view = kv_cache_view(kv_cache, Hk, D)
     want = ragged_paged_attention_xla(
         q,
-        kv_cache[:, 0],
-        kv_cache[:, 1],
+        k_view,
+        v_view,
         meta.block_tables,
         meta.seq_lens,
         meta.query_start_loc,

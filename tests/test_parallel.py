@@ -63,8 +63,8 @@ def make_inputs(cfg, T=16, S=2, block_size=16, num_blocks=8):
         block_size=block_size,
     )
     kv_cache = jnp.zeros(
-        (cfg.num_layers, num_blocks * block_size, 2, cfg.num_kv_heads,
-         cfg.head_dim),
+        (cfg.num_layers, num_blocks, block_size,
+         2 * cfg.num_kv_heads * cfg.head_dim),
         jnp.float32,
     )
     return token_ids, positions, kv_cache, meta
@@ -124,6 +124,4 @@ class TestTensorParallel:
         model, params = setup
         mesh = make_mesh(tp=TP, devices=jax.devices()[:TP])
         spec = kv_cache_sharding(mesh)
-        assert spec.spec == jax.sharding.PartitionSpec(
-            None, None, None, "tp", None
-        )
+        assert spec.spec == jax.sharding.PartitionSpec(None, None, None, "tp")

@@ -97,7 +97,7 @@ class TestWeightQuant:
         T = 16
         tokens = jnp.arange(T, dtype=jnp.int32) % cfg.vocab_size
         positions = jnp.arange(T, dtype=jnp.int32)
-        kv = jnp.zeros((2, 64, 2, 4, 16), jnp.float32)
+        kv = jnp.zeros(model.kv_cache_shape(4, 16), jnp.float32)
         meta = AttentionMetadata(
             slot_mapping=jnp.arange(T, dtype=jnp.int32),
             block_tables=jnp.asarray([[0, 1, 2, 3]], jnp.int32),
@@ -190,12 +190,12 @@ class TestInt8KvCacheModel:
             num_seqs=jnp.asarray(1, jnp.int32),
             block_size=bs,
         )
-        kv_f = jnp.zeros((2, 4 * bs, 2, 4, 16), jnp.float32)
+        kv_f = jnp.zeros(model.kv_cache_shape(4, bs), jnp.float32)
         h_f, _ = model.forward(params, tokens, positions, kv_f, meta)
         lp_f = jax.nn.log_softmax(model.compute_logits(params, h_f))
 
-        kv_q = jnp.zeros((2, 4 * bs, 2, 4, 16), jnp.int8)
-        scales = jnp.zeros((2, 4 * bs, 2), jnp.float32)
+        kv_q = jnp.zeros(model.kv_cache_shape(4, bs), jnp.int8)
+        scales = jnp.zeros((2, 4, bs, 2), jnp.float32)
         h_q, kv_q, scales = model.forward(
             params, tokens, positions, kv_q, meta, kv_scales=scales
         )
@@ -207,4 +207,5 @@ class TestInt8KvCacheModel:
         assert np.abs(np.asarray(lp_f) - np.asarray(lp_q)).mean() < 0.05
         # The quantized cache really is int8 and scales were written.
         assert kv_q.dtype == jnp.int8
-        assert float(scales[:, :T].min()) > 0
+        flat_scales = np.asarray(scales).reshape(2, 4 * bs, 2)
+        assert float(flat_scales[:, :T].min()) > 0
