@@ -272,12 +272,13 @@ class Scheduler:
             do_sample = True
             if is_prompt:
                 # Partial chunked prefills must not sample
-                # (ref: scheduler.rs:1510-1520).
+                # (ref: scheduler.rs:1510-1520). Multi-candidate (best_of)
+                # groups prefill whole prompts, never chunked.
                 seqs = group.get_seqs(SequenceStatus.RUNNING)
-                assert len(seqs) == 1
-                computed = seqs[0].sequence_data.get_num_computed_tokens()
-                if token_chunk_size + computed < seqs[0].get_len():
-                    do_sample = False
+                if len(seqs) == 1:
+                    computed = seqs[0].sequence_data.get_num_computed_tokens()
+                    if token_chunk_size + computed < seqs[0].get_len():
+                        do_sample = False
 
             metadata_list.append(
                 SequenceGroupMetadata(
@@ -436,10 +437,12 @@ class Scheduler:
         while self.waiting and self._passed_delay(now):
             group = self.waiting[0]
             waiting_seqs = group.get_seqs(SequenceStatus.WAITING)
-            assert len(waiting_seqs) == 1, (
-                "a waiting group has exactly one prompt sequence"
+            # best_of groups carry several identical prompt candidates; they
+            # share one block table (allocate() refcounts it) and their
+            # identical prefill writes are idempotent on the shared slots.
+            num_new_tokens = sum(
+                s.get_num_new_tokens() for s in waiting_seqs
             )
-            num_new_tokens = waiting_seqs[0].get_num_new_tokens()
 
             # Over-long prompts are ignored, not errored
             # (ref: scheduler.rs:957-970).
@@ -470,7 +473,7 @@ class Scheduler:
                 self.waiting.popleft()
                 continue
 
-            if enable_chunking:
+            if enable_chunking and len(waiting_seqs) == 1:
                 num_new_tokens = min(num_new_tokens, budget.remaining_token_budget())
 
             num_new_seqs = group.get_max_num_running_seqs()

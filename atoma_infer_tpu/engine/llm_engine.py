@@ -278,6 +278,14 @@ class LlmEngine:
     def _finish_group(self, group: SequenceGroup) -> GenerateRequestOutput:
         group.set_finished_time(time.monotonic())
         first = group.get_first_seq()
+        # best_of semantics: return the top-n candidates by cumulative
+        # logprob (ref: best_of handling, sequence.rs get_max_num_running_seqs
+        # + vLLM output selection).
+        seqs = sorted(
+            group.get_seqs(),
+            key=lambda s: s.get_cumulative_logprob(),
+            reverse=True,
+        )[: getattr(group, "num_return", None) or len(group.sequences)]
         result = GenerateRequestOutput(
             request_id=group.request_id,
             inputs=first.prompt,
@@ -292,7 +300,7 @@ class LlmEngine:
                     finish_reason=s.status.finished_reason,
                     stop_reason=s.stop_reason,
                 )
-                for s in group.get_seqs()
+                for s in seqs
             ],
             metrics=group.metrics,
         )

@@ -217,6 +217,9 @@ class LlmService:
 
         eos = self.eos_token_ids
         eos_id = eos[0] if isinstance(eos, (list, tuple)) else eos
+        # Admit best_of parallel candidates (ref: llm_service.rs:374-388);
+        # the engine returns the top-n by cumulative logprob at finish.
+        num_seqs = max(valid.best_of, valid.n, 1)
         sequences = [
             Sequence(
                 seq_id=next(_SEQ_COUNTER),
@@ -225,7 +228,7 @@ class LlmService:
                 block_size=self.block_size,
                 eos_token_id=eos_id,
             )
-            for _ in range(max(valid.n, 1))
+            for _ in range(num_seqs)
         ]
         group = SequenceGroup(
             request_id=valid.request_id,
@@ -235,6 +238,7 @@ class LlmService:
             logprobs=valid.logprobs,
             best_of=valid.best_of,
         )
+        group.num_return = max(valid.n, 1)
         loop = asyncio.get_running_loop()
         future: asyncio.Future = loop.create_future()
         queue: Optional[asyncio.Queue] = asyncio.Queue() if stream else None

@@ -131,11 +131,17 @@ class ModelWorker:
         )
         S = model_input.seq_lens.shape[0]
 
+        import dataclasses as _dc
+
         params_list = []
         recent = []
         for meta in request.sequence_groups_metadata:
-            for seq_id, seq_data in meta.seq_data.items():
-                params_list.append(meta.next_token_chooser_params)
+            for idx, (seq_id, seq_data) in enumerate(meta.seq_data.items()):
+                p = meta.next_token_chooser_params
+                if idx > 0:
+                    # Distinct sampling streams per best_of candidate.
+                    p = _dc.replace(p, seed=p.seed + idx)
+                params_list.append(p)
                 recent.append(seq_data.get_token_ids()[-PENALTY_WINDOW:])
         sampling = SamplingTensors.build(params_list, recent, S)
 

@@ -6,8 +6,9 @@ scaling (:22-83), rope cos/sin cache precomputed to max_position_embeddings
 paged KV and last-token selection before the LM head (:456-478).
 
 TPU-native design departures from the reference:
-- layers are executed with ``lax.scan`` over stacked parameters (one compiled
-  layer body instead of L inlined copies — faster compiles, same HLO per step);
+- the layer loop is unrolled over per-layer paged-cache arrays (a scan with
+  the cache as xs/ys makes XLA copy + relayout the whole cache every layer —
+  see forward()'s docstring);
 - attention is a single ragged paged-attention op handling prefill chunks and
   decodes in one batch (the reference dispatches between three CUDA kernels,
   flash_attention.rs:399-464);

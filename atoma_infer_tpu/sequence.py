@@ -374,9 +374,16 @@ class SequenceGroup:
         self.metrics.finished_time = now
 
     def update_num_computed_tokens(self, num_new_computed: int) -> None:
+        # ``num_new_computed`` is the group's token_chunk_size — for best_of
+        # groups that is the SUM over candidates; clamp per sequence.
         for seq in self.sequences.values():
             if not seq.is_finished():
-                seq.sequence_data.update_num_computed_tokens(num_new_computed)
+                seq.sequence_data.update_num_computed_tokens(
+                    min(
+                        num_new_computed,
+                        seq.sequence_data.get_num_uncomputed_tokens(),
+                    )
+                )
 
     def add_sequence(self, seq: Sequence) -> None:
         self.sequences[seq.seq_id] = seq

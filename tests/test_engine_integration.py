@@ -23,7 +23,7 @@ from atoma_infer_tpu.entrypoints.offline import build_tiny_random
 from atoma_infer_tpu.types import GenerateParameters, GenerateRequest
 
 
-def make_service(**scheduler_overrides) -> LlmService:
+def make_service(best_of=1, **scheduler_overrides) -> LlmService:
     model, params, tokenizer = build_tiny_random()
     sched = dict(
         max_num_batched_tokens=512,
@@ -40,7 +40,9 @@ def make_service(**scheduler_overrides) -> LlmService:
             num_host_blocks_override=32,
         ),
         scheduler=SchedulerConfig(**sched),
-        validation=ValidationConfig(max_input_tokens=256, max_total_tokens=512),
+        validation=ValidationConfig(
+            best_of=best_of, max_input_tokens=256, max_total_tokens=512
+        ),
     )
     return LlmService.start(
         config, model=model, params=params, tokenizer=tokenizer
@@ -310,3 +312,32 @@ class TestLongContextPressure:
         for r in results:
             assert 1 <= len(r.outputs[0].token_ids) <= 6
         assert free == 128  # full pool back
+
+
+class TestBestOf:
+    def test_best_of_returns_top_n(self):
+        async def scenario():
+            service = make_service(best_of=4)
+            task = asyncio.create_task(service.engine.run())
+            fut = await service.handle_request(
+                GenerateRequest(
+                    request_id="bo",
+                    inputs="pick the best",
+                    parameters=GenerateParameters(
+                        max_new_tokens=6,
+                        best_of=3,
+                        n=1,
+                        do_sample=True,
+                        temperature=1.0,
+                        seed=3,
+                    ),
+                )
+            )
+            r = await asyncio.wait_for(fut, timeout=120)
+            service.stop()
+            task.cancel()
+            return r
+
+        r = run(scenario())
+        # 3 candidates generated, 1 returned — the highest-logprob one.
+        assert len(r.outputs) == 1
