@@ -194,6 +194,24 @@ class Llama:
         scale = cfg.head_dim**-0.5
         quantized_kv = kv_scales is not None
 
+        # The (page → token rows) map for the Pallas cache write depends only
+        # on slot_mapping — build it once and reuse across all layers.
+        page_map = None
+        if not quantized_kv:
+            try:
+                on_tpu = jax.default_backend() not in ("cpu",)
+            except Exception:  # pragma: no cover
+                on_tpu = False
+            if on_tpu:
+                from ..ops.kv_write import _build_page_map
+
+                bs0 = (
+                    kv_cache[0].shape[1]
+                    if isinstance(kv_cache, (tuple, list))
+                    else kv_cache.shape[2]
+                )
+                page_map = _build_page_map(attn_meta.slot_mapping, bs0)
+
         stacked_in = not isinstance(kv_cache, (tuple, list))
         if stacked_in:
             kv_cache = tuple(kv_cache[i] for i in range(cfg.num_layers))
@@ -223,7 +241,9 @@ class Llama:
                     kv_c, sc_c, kk, vv, attn_meta.slot_mapping
                 )
             else:
-                kv_c = write_kv_cache(kv_c, kk, vv, attn_meta.slot_mapping)
+                kv_c = write_kv_cache(
+                    kv_c, kk, vv, attn_meta.slot_mapping, page_map=page_map
+                )
                 sc_c = None
             attn = ragged_paged_attention(
                 q,

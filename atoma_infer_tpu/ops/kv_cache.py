@@ -64,6 +64,7 @@ def write_kv_cache(
     k_new: jnp.ndarray,     # [num_tokens, Hk, D]
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,  # [num_tokens] int32, PAD_SLOT_ID for padding
+    page_map=None,          # optional precomputed Pallas page map
 ) -> jnp.ndarray:
     """Scatter this step's K/V rows into their assigned slots.
 
@@ -79,7 +80,9 @@ def write_kv_cache(
     if on_tpu and kv_cache.shape[2] % 128 == 0:
         from .kv_write import write_kv_cache_pallas
 
-        return write_kv_cache_pallas(kv_cache, k_new, v_new, slot_mapping)
+        return write_kv_cache_pallas(
+            kv_cache, k_new, v_new, slot_mapping, page_map=page_map
+        )
     rows = kv_rows(k_new, v_new, kv_cache.dtype)
     slots = _dropped_pad(slot_mapping)
     return kv_cache.at[slots // bs, slots % bs].set(

@@ -119,6 +119,8 @@ def write_kv_cache_pallas(
     k_new: jnp.ndarray,     # [T, Hk, D]
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,  # [T] int32, -1 padding
+    page_map=None,          # optional precomputed (page_ids, src_idx) —
+                            # identical across layers, build once per step
 ) -> jnp.ndarray:
     num_pages, bs, R = kv_cache.shape
     T = k_new.shape[0]
@@ -127,7 +129,9 @@ def write_kv_cache_pallas(
     pad = (-T) % 16
     if pad:
         kvn = jnp.pad(kvn, ((0, pad), (0, 0)))
-    page_ids, src_idx = _build_page_map(slot_mapping, bs)
+    if page_map is None:
+        page_map = _build_page_map(slot_mapping, bs)
+    page_ids, src_idx = page_map
     page_ids = jnp.clip(page_ids, -1, num_pages - 1)
 
     out = pl.pallas_call(

@@ -93,13 +93,13 @@ def _kernel(
     q_hbm,            # [W, BQ, Hq*D]
     kv_hbm,           # [num_pages_total, bs, 2*Hk*D] head-interleaved K|V
     o_hbm,            # [W, BQ, Hq*D]
-    # scratch
-    q_vmem,           # [BQ, Hq*D]
+    # scratch (outer dim 2 = entry parity for cross-entry prefetch)
+    q_vmem,           # [2, BQ, Hq*D]
     qg_vmem,          # [Hq*BQ, D] — per-kv-head query groups, g-major rows
-    kv_vmem,          # [2, CP, bs, 2*Hk*D]
+    kv_vmem,          # [2, 2, CP, bs, 2*Hk*D]
     o_vmem,           # [BQ, Hq*D]
-    q_sem,
-    kv_sems,          # DMA sems [2]
+    q_sems,           # DMA sems [2]
+    kv_sems,          # DMA sems [2, 2]
     o_sem,
     *,
     scale: float,
@@ -113,6 +113,8 @@ def _kernel(
     soft_cap: Optional[float],
 ):
     e = pl.program_id(0)
+    W = pl.num_programs(0)
+    par = e % 2
     s = entry_seq_ref[e]
     active = s >= 0
     s = jnp.maximum(s, 0)
@@ -130,44 +132,62 @@ def _kernel(
     q_len = qsl_ref[s + 1] - q_start
     kv_len = seq_lens_ref[s]
 
-    def page_dma(buf, chunk, p):
+    def page_dma(seq, parity, buf, chunk, p):
         idx = jnp.minimum(chunk * CP + p, num_pages - 1)
-        page = jnp.clip(block_tables_ref[s, idx], 0, max_page)
+        page = jnp.clip(block_tables_ref[seq, idx], 0, max_page)
         return pltpu.make_async_copy(
             kv_hbm.at[page],
-            kv_vmem.at[buf, p],
-            kv_sems.at[buf],
+            kv_vmem.at[parity, buf, p],
+            kv_sems.at[parity, buf],
         )
 
-    def start_chunk(buf, chunk):
+    def start_chunk(seq, parity, buf, chunk):
         for p in range(CP):
-            page_dma(buf, chunk, p).start()
+            page_dma(seq, parity, buf, chunk, p).start()
 
-    def wait_chunk(buf, chunk):
+    def wait_chunk(parity, buf):
         # All CP page copies signal the same semaphore; one wait sized to the
         # whole chunk buffer (DMA waits count destination bytes) replaces CP
         # per-descriptor waits.
         pltpu.make_async_copy(
             kv_hbm.at[pl.ds(0, CP)],
-            kv_vmem.at[buf],
-            kv_sems.at[buf],
+            kv_vmem.at[parity, buf],
+            kv_sems.at[parity, buf],
         ).wait()
+
+    def q_dma(eidx, parity):
+        return pltpu.make_async_copy(
+            q_hbm.at[eidx], q_vmem.at[parity], q_sems.at[parity]
+        )
+
+    # Entry 0 starts its own q + first chunk; afterwards every entry's q and
+    # first KV chunk were prefetched by its predecessor, overlapping the
+    # inter-entry pipeline bubble (active entries form a prefix of the grid).
+    @pl.when(active & (e == 0))
+    def _():
+        q_dma(e, par).start()
+        start_chunk(s, par, 0, 0)
 
     @pl.when(active)
     def _():
-        q_dma = pltpu.make_async_copy(q_hbm.at[e], q_vmem, q_sem)
-        q_dma.start()
-        start_chunk(0, 0)
+        nxt = jnp.minimum(e + 1, W - 1)
+        s_n = jnp.maximum(entry_seq_ref[nxt], 0)
+        has_next = (e + 1 < W) & (entry_seq_ref[nxt] >= 0)
+
+        @pl.when(has_next)
+        def _():
+            q_dma(nxt, (e + 1) % 2).start()
+            start_chunk(s_n, (e + 1) % 2, 0, 0)
 
         nc = pl.cdiv(kv_len, CHUNK)
-        q_dma.wait()
+        q_dma(e, par).wait()
 
         # Per-KV-head query groups [G·BQ, D] (g-major rows): the G q heads
         # sharing kv head h are stacked along sublanes so each chunk does ONE
         # score/PV matmul per kv head instead of G. Mosaic cannot concat
         # lane-offset slices directly, so the slices are staged through a
         # scratch (stores realign lane offsets) and read back as row blocks.
-        q_all = q_vmem[...]
+        q_all = q_vmem[par]
         for qh in range(Hq):
             qg_vmem[qh * BQ : (qh + 1) * BQ, :] = q_all[
                 :, qh * D : (qh + 1) * D
@@ -186,11 +206,11 @@ def _kernel(
 
             @pl.when(j + 1 < nc)
             def _():
-                start_chunk((j + 1) % 2, j + 1)
+                start_chunk(s, par, (j + 1) % 2, j + 1)
 
-            wait_chunk(buf, j)
+            wait_chunk(par, buf)
 
-            kv_all = kv_vmem[buf].reshape(CHUNK, 2 * Hk * D)
+            kv_all = kv_vmem[par, buf].reshape(CHUNK, 2 * Hk * D)
 
             col = j * CHUNK + jax.lax.broadcasted_iota(
                 jnp.int32, (1, CHUNK), 1
@@ -303,12 +323,12 @@ def ragged_paged_attention_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((BQ, Hq * D), q.dtype),      # q entry window
+            pltpu.VMEM((2, BQ, Hq * D), q.dtype),   # q windows (entry parity)
             pltpu.VMEM((Hq * BQ, D), q.dtype),      # per-kv-head q groups
-            pltpu.VMEM((2, CP, bs, 2 * Hk * D), kv_cache.dtype),
+            pltpu.VMEM((2, 2, CP, bs, 2 * Hk * D), kv_cache.dtype),
             pltpu.VMEM((BQ, Hq * D), q.dtype),
-            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
