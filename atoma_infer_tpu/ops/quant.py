@@ -67,12 +67,15 @@ def quantize_weight(
     q = jnp.clip(jnp.round(wf / scales), -qmax, qmax).astype(jnp.int8)
     q = q.reshape(in_dim, out_dim)
     if bits == 4:
-        # Pack adjacent contraction rows into one byte: row 2j → low nibble,
-        # row 2j+1 → high nibble.
-        assert in_dim % 2 == 0
-        lo = q[0::2].astype(jnp.uint8) & 0xF
-        hi = (q[1::2].astype(jnp.uint8) & 0xF) << 4
-        q = (lo | hi).astype(jnp.int8)
+        # Group-local halves packing: within each scale group of rows the
+        # first half lives in low nibbles, the second half in high nibbles —
+        # a packed block then unpacks with one sublane concat in the Pallas
+        # kernel (no row interleave).
+        assert in_dim % 2 == 0 and group_size % 2 == 0
+        qg = q.reshape(in_dim // group_size, group_size, out_dim)
+        lo = qg[:, : group_size // 2].astype(jnp.uint8) & 0xF
+        hi = (qg[:, group_size // 2 :].astype(jnp.uint8) & 0xF) << 4
+        q = (lo | hi).astype(jnp.int8).reshape(in_dim // 2, out_dim)
     return QuantizedTensor(
         qweight=q,
         scales=scales[:, 0, :].astype(jnp.bfloat16),
@@ -81,25 +84,32 @@ def quantize_weight(
     )
 
 
-def _unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
-    """Unpack [..., in/2, out] int8 bytes → [..., in, out] int8 in [-7, 7]."""
+def _unpack_int4(packed: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """Unpack [..., in/2, out] int8 bytes → [..., in, out] int8 in [-7, 7]
+    (group-local halves packing — see quantize_weight)."""
     as_u8 = packed.astype(jnp.uint8)
     lo = (as_u8 & 0xF).astype(jnp.int8)
     hi = ((as_u8 >> 4) & 0xF).astype(jnp.int8)
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
-    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
-    new_shape = packed.shape[:-2] + (packed.shape[-2] * 2, packed.shape[-1])
-    return stacked.reshape(new_shape)
+    half = group_size // 2
+    in_half, out_dim = packed.shape[-2], packed.shape[-1]
+    gs = in_half // half
+    lead = packed.shape[:-2]
+    lo = lo.reshape(*lead, gs, half, out_dim)
+    hi = hi.reshape(*lead, gs, half, out_dim)
+    full = jnp.concatenate([lo, hi], axis=-2)  # [..., gs, group, out]
+    return full.reshape(*lead, in_half * 2, out_dim)
 
 
 def dequantize_weight(w: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Materialize the bf16 weight (tests + fallback path)."""
     q = w.qweight
+    in_dim_q = q.shape[-2] * (2 if w.bits == 4 else 1)
+    group_size = w.group_size if in_dim_q % w.group_size == 0 else in_dim_q
     if w.bits == 4:
-        q = _unpack_int4(q)
+        q = _unpack_int4(q, group_size)
     in_dim, out_dim = q.shape[-2:]
-    group_size = w.group_size if in_dim % w.group_size == 0 else in_dim
     scales = w.scales.astype(jnp.float32)  # [..., G, out]
     deq = q.astype(jnp.float32).reshape(
         *q.shape[:-2], in_dim // group_size, group_size, out_dim
@@ -110,15 +120,18 @@ def dequantize_weight(w: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
 def quantized_matmul(x: jnp.ndarray, w: QuantizedTensor) -> jnp.ndarray:
     """``x @ dequant(w)`` with dequant fused into the contraction.
 
-    Grouped contraction keeps the int8→bf16 convert adjacent to the dot so
-    XLA fuses it into the MXU feed instead of materializing the bf16 weight
-    in HBM.
+    The grouped XLA contraction keeps the int8→bf16 convert adjacent to the
+    dot; measured on v5e it outperforms the Pallas kernels in
+    ops/quant_kernels.py (XLA int8 1.75×/347GB/s-eff vs kernel 215GB/s —
+    the kernels remain as groundwork; their int4 float-based nibble unpack
+    is VPU-bound).
     """
     q = w.qweight
+    in_dim_q = q.shape[-2] * (2 if w.bits == 4 else 1)
+    group_size = w.group_size if in_dim_q % w.group_size == 0 else in_dim_q
     if w.bits == 4:
-        q = _unpack_int4(q)
+        q = _unpack_int4(q, group_size)
     in_dim, out_dim = q.shape[-2:]
-    group_size = w.group_size if in_dim % w.group_size == 0 else in_dim
     num_groups = in_dim // group_size
     scales = w.scales  # [G, out]
 

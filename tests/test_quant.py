@@ -209,3 +209,24 @@ class TestInt8KvCacheModel:
         assert kv_q.dtype == jnp.int8
         flat_scales = np.asarray(scales).reshape(2, 4 * bs, 2)
         assert float(flat_scales[:, :T].min()) > 0
+
+
+class TestPallasQuantKernels:
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_matches_xla_path(self, bits):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from atoma_infer_tpu.ops.quant_kernels import quantized_matmul_pallas
+
+        w = _w((256, 256), seed=5)
+        x = _w((16, 256), seed=6).astype(jnp.bfloat16)
+        q = quantize_weight(w, bits=bits, group_size=128)
+        with pltpu.force_tpu_interpret_mode():
+            got = quantized_matmul_pallas(
+                x, q.qweight, q.scales, bits=bits, group_size=128, block_n=128
+            )
+        want = x.astype(jnp.float32) @ dequantize_weight(q, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want),
+            atol=0.5, rtol=0.05,
+        )
