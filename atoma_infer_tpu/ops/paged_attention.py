@@ -48,7 +48,9 @@ def _pick_block_q(num_tokens: int, num_seq_slots: int) -> int:
     # padded-row softmax work; 2 rows is the bf16 sublane-packing minimum.
     if num_tokens <= num_seq_slots:
         return 2
-    for bq in (128, 64, 32, 16, 8):
+    # BQ caps at 64: wider blocks push kernel scratch past Mosaic's 16MB
+    # scoped-VMEM stack limit.
+    for bq in (64, 32, 16, 8):
         if num_tokens % bq == 0:
             return bq
     raise ValueError(f"token count {num_tokens} must be a multiple of 8")
@@ -293,7 +295,10 @@ def ragged_paged_attention_pallas(
     P = meta.block_tables.shape[1]
     bs = meta.block_size
     BQ = block_q or _pick_block_q(T, S)
-    CP = pages_per_chunk or max(1, 512 // bs)
+    # Narrow (decode) blocks leave scratch headroom for 512-row chunks; wide
+    # prefill blocks halve the chunk to stay under the 16MB scoped-VMEM cap.
+    chunk_rows = 512 if BQ <= 16 else 256
+    CP = pages_per_chunk or max(1, chunk_rows // bs)
     CP = min(CP, P)
     W = T // BQ + S  # worst-case (seq, q_block) entries
 
