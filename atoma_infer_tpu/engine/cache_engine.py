@@ -158,6 +158,7 @@ class CacheEngine:
         while n < len(pairs):
             n *= 2
         padded = np.full((n, 2), -1, dtype=np.int32)
+        padded[: len(pairs)] = np.asarray(pairs, dtype=np.int32)
         pj = jnp.asarray(padded)
         self.kv_cache = tuple(
             copy_blocks_layer_jit(c, pj) for c in self.kv_cache
