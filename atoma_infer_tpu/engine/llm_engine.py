@@ -17,6 +17,7 @@ from __future__ import annotations
 import asyncio
 import dataclasses
 import logging
+import queue
 import time
 from typing import Dict, List, Optional
 
@@ -100,6 +101,7 @@ class LlmEngine:
         self._response_futures: Dict[str, asyncio.Future] = {}
         self._stream_queues: Dict[str, asyncio.Queue] = {}
         self._new_requests: asyncio.Queue = asyncio.Queue()
+        self._pending_aborts: queue.SimpleQueue = queue.SimpleQueue()
         self._stopping = False
         # Captured by run(); step() may execute on a worker thread, so all
         # queue/future completions hop through call_soon_threadsafe.
@@ -122,12 +124,31 @@ class LlmEngine:
 
     def abort_request(self, request_id: str) -> bool:
         """Abort API (routed, unlike the reference's unexposed
-        ``abort_sequence_group`` — SURVEY.md §3.5)."""
-        group = self.scheduler.abort_sequence_group(request_id)
-        if group is None:
+        ``abort_sequence_group`` — SURVEY.md §3.5).
+
+        Called from the asyncio event-loop thread while ``step()`` may be
+        mutating the scheduler on an executor thread, so the scheduler is
+        never touched here: the id goes on a thread-safe pending queue that
+        ``step()`` drains before scheduling. Returns True if the request is
+        currently known to the engine (it will be aborted by the next step).
+        """
+        if request_id not in self._groups:
             return False
-        self._finish_group(group)
+        self._pending_aborts.put(request_id)
         return True
+
+    def _drain_aborts(self) -> None:
+        """Apply queued aborts at the top of step() — the only place
+        scheduler state is mutated for aborts (single-threaded with the
+        rest of step)."""
+        while True:
+            try:
+                request_id = self._pending_aborts.get_nowait()
+            except queue.Empty:
+                return
+            group = self.scheduler.abort_sequence_group(request_id)
+            if group is not None:
+                self._finish_group(group)
 
     # ------------------------------------------------------------------- loop
     async def run(self) -> None:
@@ -168,6 +189,7 @@ class LlmEngine:
     # ------------------------------------------------------------------- step
     def step(self) -> List[GenerateRequestOutput]:
         """One engine iteration (ref: llm_engine.rs:216-245)."""
+        self._drain_aborts()
         metadata, outputs = self.scheduler.schedule()
         for group in outputs.ignored_seq_groups:
             self._finish_group(group)
@@ -232,9 +254,14 @@ class LlmEngine:
         finish_reason: Optional[str] = None
 
         # Stop strings: truncate at the earliest stop match
-        # (ref: llm_engine.rs:438-460).
+        # (ref: llm_engine.rs:438-460). Incremental: only the tail that a
+        # match could newly span (new text + longest stop − 1) is searched,
+        # not the whole output each token — O(stop_len) per step.
         for stop_str in stopping.stop_sequences:
-            idx = seq.output_text.find(stop_str)
+            search_from = max(
+                0, len(seq.output_text) - len(new_text) - len(stop_str) + 1
+            )
+            idx = seq.output_text.find(stop_str, search_from)
             if idx != -1:
                 seq.output_text = seq.output_text[:idx]
                 seq.status = SequenceStatus.FINISHED_STOPPED

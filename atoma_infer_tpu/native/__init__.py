@@ -71,7 +71,13 @@ def load() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        src = os.path.join(_CSRC, "atoma_core.cpp")
+        stale = (
+            os.path.exists(_LIB_PATH)
+            and os.path.exists(src)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if not os.path.exists(_LIB_PATH) or stale:
             try:
                 subprocess.run(
                     ["make", "-C", _CSRC],

@@ -355,10 +355,12 @@ def ragged_paged_attention_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((W, BQ, Hq * D), q.dtype),
-        # Entry output windows are disjoint, so the grid parallelizes across
-        # the two TensorCores (megacore).
+        # Must be "arbitrary": the cross-entry prefetch chain (entry e starts
+        # entry e+1's DMAs) assumes sequential grid execution. A "parallel"
+        # split across megacore TensorCores (v4/v5p) would leave the second
+        # core waiting on DMAs its partition never started.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(

@@ -114,9 +114,8 @@ def _observe_result(result) -> None:
     if m.finished_time is not None:
         metrics.ARRIVAL_TO_FINISH.observe(m.finished_time - m.arrival_time)
     metrics.INPUT_LENGTH.observe(len(result.prompt_token_ids))
-    metrics.GENERATED_TOKENS.inc(
-        sum(len(o.token_ids) for o in result.outputs)
-    )
+    # GENERATED_TOKENS is incremented per token in the engine
+    # (LlmEngine._update_sequence) — not here, or every token counts twice.
 
 
 async def validate_handler(request: web.Request) -> web.Response:
