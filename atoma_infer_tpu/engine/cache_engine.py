@@ -61,12 +61,26 @@ class CacheEngine:
             return jax.device_put(kv, sharding) if sharding is not None else kv
 
         self.kv_cache = tuple(layer_array() for _ in range(num_layers))
-        # INT8 KV mode: per-(slot, K/V) dequantization scales.
-        self.kv_scales = (
-            tuple(
-                jnp.zeros((num_device_blocks, block_size, 2), jnp.float32)
-                for _ in range(num_layers)
+        # INT8 KV mode: per-(slot, K/V) dequantization scales — replicated
+        # across TP shards (every shard quantizes with the same scales).
+        scales_sharding = None
+        if sharding is not None and isinstance(
+            sharding, jax.sharding.NamedSharding
+        ):
+            scales_sharding = jax.sharding.NamedSharding(
+                sharding.mesh, jax.sharding.PartitionSpec()
             )
+
+        def scales_array():
+            s = jnp.zeros((num_device_blocks, block_size, 2), jnp.float32)
+            return (
+                jax.device_put(s, scales_sharding)
+                if scales_sharding is not None
+                else s
+            )
+
+        self.kv_scales = (
+            tuple(scales_array() for _ in range(num_layers))
             if dtype == jnp.int8
             else None
         )

@@ -138,6 +138,44 @@ class LlmService:
             )
 
         cfg = model.config
+
+        # Tensor parallelism: build the mesh, shard weights + KV over it
+        # (ref: model_executor.rs:394-545 NCCL dispatcher + llama_nccl.rs
+        # sharded load — here one SPMD program over a jax mesh).
+        tp = config.model.tensor_parallel_size or 1
+        mesh = None
+        kv_sharding = None
+        if tp > 1:
+            from ..parallel import (
+                kv_cache_layer_sharding,
+                make_mesh,
+                shard_params,
+            )
+
+            devices = jax.devices()
+            if config.model.num_devices:
+                devices = devices[: config.model.num_devices]
+            if tp > len(devices):
+                raise ValueError(
+                    f"tensor_parallel_size {tp} > visible devices "
+                    f"({len(devices)})"
+                )
+            if cfg.num_kv_heads % tp or cfg.num_attention_heads % tp:
+                raise ValueError(
+                    f"head counts (q={cfg.num_attention_heads}, "
+                    f"kv={cfg.num_kv_heads}) not divisible by "
+                    f"tensor_parallel_size {tp}"
+                )
+            mesh = make_mesh(tp=tp, devices=devices[:tp])
+            params = shard_params(mesh, params)
+            kv_sharding = kv_cache_layer_sharding(mesh)
+            model.mesh = mesh
+            logger.info(
+                "tensor parallelism over %d devices (mesh %s)",
+                tp,
+                dict(mesh.shape),
+            )
+
         # Profile KV pools AFTER weights are resident (ref: config.rs:624-625).
         config.cache.profile(
             cfg.num_layers,
@@ -157,6 +195,7 @@ class LlmService:
             num_device_blocks=config.cache.num_device_blocks,
             num_host_blocks=config.cache.num_host_blocks or 0,
             dtype=kv_dtype,
+            sharding=kv_sharding,
         )
         worker = ModelWorker(
             model, params, cache_engine, config.scheduler, config.cache

@@ -26,8 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.rope import RopeScalingConfig, apply_rope, compute_cos_sin_cache
-from ..ops.attention import AttentionMetadata, ragged_paged_attention
-from ..ops.kv_cache import write_kv_cache, write_kv_cache_quant
+from ..ops.attention import AttentionMetadata, paged_attention_layer
 from ..ops.quant import QuantizedLinear, quantized_matmul
 
 
@@ -120,9 +119,12 @@ def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
 class Llama:
     """Llama forward pass over the paged KV cache (ref: llama.rs:456-478)."""
 
-    def __init__(self, config: LlamaConfig, dtype=jnp.bfloat16):
+    def __init__(self, config: LlamaConfig, dtype=jnp.bfloat16, mesh=None):
         self.config = config
         self.dtype = dtype
+        # Tensor-parallel mesh (axis "tp" shards heads); None = single shard
+        # (ref: llama_nccl.rs:144-181 — here set by LlmService.start).
+        self.mesh = mesh
         cos, sin = compute_cos_sin_cache(
             config.head_dim,
             config.max_position_embeddings,
@@ -197,7 +199,7 @@ class Llama:
         # The (page → token rows) map for the Pallas cache write depends only
         # on slot_mapping — build it once and reuse across all layers.
         page_map = None
-        if not quantized_kv:
+        if not quantized_kv and self.mesh is None:
             try:
                 on_tpu = jax.default_backend() not in ("cpu",)
             except Exception:  # pragma: no cover
@@ -235,23 +237,19 @@ class Llama:
             q = apply_rope(q, positions, cos, sin)
             kk = apply_rope(kk, positions, cos, sin)
             # Write new KV into the paged cache, then attend over it
-            # (ref: flash_attention.rs:360-361 order).
-            if quantized_kv:
-                kv_c, sc_c = write_kv_cache_quant(
-                    kv_c, sc_c, kk, vv, attn_meta.slot_mapping
-                )
-            else:
-                kv_c = write_kv_cache(
-                    kv_c, kk, vv, attn_meta.slot_mapping, page_map=page_map
-                )
-                sc_c = None
-            attn = ragged_paged_attention(
+            # (ref: flash_attention.rs:360-361 order); TP shards heads
+            # under shard_map when a mesh is set.
+            attn, kv_c, sc_c = paged_attention_layer(
                 q,
                 kv_c,
+                sc_c if quantized_kv else None,
+                kk,
+                vv,
                 attn_meta,
                 scale=scale,
                 sliding_window=cfg.sliding_window,
-                kv_scales=sc_c if quantized_kv else None,
+                mesh=self.mesh,
+                page_map=page_map,
             )
             attn = attn.reshape(-1, cfg.num_attention_heads * cfg.head_dim)
             hidden = hidden + _linear(attn, lp["o_proj"])

@@ -143,3 +143,135 @@ def ragged_paged_attention(
         v_scale=None if kv_scales is None
         else kv_scales.reshape(num_slots, 2)[:, 1],
     )
+
+
+def _meta_specs(meta: AttentionMetadata, spec) -> AttentionMetadata:
+    """AttentionMetadata pytree with every array leaf given ``spec``."""
+    return AttentionMetadata(
+        slot_mapping=spec,
+        block_tables=spec,
+        seq_lens=spec,
+        query_start_loc=spec,
+        num_seqs=spec,
+        block_size=meta.block_size,
+    )
+
+
+def paged_attention_layer(
+    q: jnp.ndarray,         # [T, Hq, D] (rope already applied)
+    kv_cache: jnp.ndarray,  # [num_pages, block_size, 2·Hk·D]
+    kv_scales,              # None | [num_pages, block_size, 2] f32 (int8 KV)
+    k_new: jnp.ndarray,     # [T, Hk, D] (rope already applied)
+    v_new: jnp.ndarray,
+    meta: AttentionMetadata,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    mesh=None,
+    page_map=None,
+) -> tuple:
+    """One layer's attention block: write this step's K/V into the paged
+    cache, then attend over it (ref write-then-attend order:
+    flash_attention.rs:360-361). Returns (attn [T, Hq, D], kv_cache,
+    kv_scales).
+
+    Tensor parallelism: with a mesh whose ``tp`` axis > 1, the block runs
+    under ``shard_map`` — q/k/v sharded over heads, the page-major cache
+    sharded over its head-interleaved row dim — so each shard writes and
+    attends over its own kv heads with ZERO collectives (the reference's
+    analog: per-rank FlashAttention over kv_heads/world_size,
+    worker.rs:584-591). The Pallas kernels run per shard. INT8 KV scales
+    are computed over ALL heads before sharding so every shard quantizes
+    identically to the single-device path.
+    """
+    from .kv_cache import (
+        kv_quant_scales,
+        write_kv_cache,
+        write_kv_cache_quant,
+    )
+
+    tp = 1
+    if mesh is not None:
+        from ..parallel.mesh import TP_AXIS
+
+        tp = mesh.shape.get(TP_AXIS, 1)
+
+    if tp <= 1:
+        if kv_scales is not None:
+            kv_cache, kv_scales = write_kv_cache_quant(
+                kv_cache, kv_scales, k_new, v_new, meta.slot_mapping
+            )
+        else:
+            kv_cache = write_kv_cache(
+                kv_cache, k_new, v_new, meta.slot_mapping, page_map=page_map
+            )
+        attn = ragged_paged_attention(
+            q,
+            kv_cache,
+            meta,
+            scale=scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+            kv_scales=kv_scales,
+        )
+        return attn, kv_cache, kv_scales
+
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import TP_AXIS
+
+    heads = P(None, TP_AXIS, None)   # [T, H, D] sharded over heads
+    rows = P(None, None, TP_AXIS)    # cache row dim (head-interleaved K|V)
+    rep = P()
+    m_spec = _meta_specs(meta, rep)
+
+    if kv_scales is None:
+
+        def inner(q, kv_c, k_new, v_new, meta):
+            kv_c = write_kv_cache(kv_c, k_new, v_new, meta.slot_mapping)
+            attn = ragged_paged_attention(
+                q,
+                kv_c,
+                meta,
+                scale=scale,
+                sliding_window=sliding_window,
+                soft_cap=soft_cap,
+            )
+            return attn, kv_c
+
+        attn, kv_cache = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(heads, rows, heads, heads, m_spec),
+            out_specs=(heads, rows),
+            check_vma=False,
+        )(q, kv_cache, k_new, v_new, meta)
+        return attn, kv_cache, None
+
+    # INT8 KV: absmax over the FULL head dim (auto-partitioned by XLA),
+    # then per-shard quantize + write + attend with replicated scales.
+    scales_t = kv_quant_scales(k_new, v_new)  # [T, 2]
+
+    def inner_q(q, kv_c, sc_c, k_new, v_new, scales_t, meta):
+        kv_c, sc_c = write_kv_cache_quant(
+            kv_c, sc_c, k_new, v_new, meta.slot_mapping, scales=scales_t
+        )
+        attn = ragged_paged_attention(
+            q,
+            kv_c,
+            meta,
+            scale=scale,
+            sliding_window=sliding_window,
+            soft_cap=soft_cap,
+            kv_scales=sc_c,
+        )
+        return attn, kv_c, sc_c
+
+    attn, kv_cache, kv_scales = jax.shard_map(
+        inner_q,
+        mesh=mesh,
+        in_specs=(heads, rows, rep, heads, heads, rep, m_spec),
+        out_specs=(heads, rows, rep),
+        check_vma=False,
+    )(q, kv_cache, kv_scales, k_new, v_new, scales_t, meta)
+    return attn, kv_cache, kv_scales

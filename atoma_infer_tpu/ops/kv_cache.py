@@ -90,12 +90,22 @@ def write_kv_cache(
     )
 
 
+def kv_quant_scales(k_new: jnp.ndarray, v_new: jnp.ndarray) -> jnp.ndarray:
+    """Per-(token, K/V) symmetric absmax INT8 scales over ALL kv heads
+    → [T, 2] f32. Computed over the full (unsharded) heads so
+    tensor-parallel shards quantize identically."""
+    kv_new = jnp.stack([k_new, v_new], axis=2).astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(kv_new), axis=(1, 3))          # [T, 2]
+    return jnp.maximum(absmax / 127.0, 1e-8)
+
+
 def write_kv_cache_quant(
     kv_cache: jnp.ndarray,   # [num_pages, block_size, 2·Hk·D] int8
     kv_scales: jnp.ndarray,  # [num_pages, block_size, 2] f32
     k_new: jnp.ndarray,      # [T, Hk, D] float
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,
+    scales: jnp.ndarray = None,  # [T, 2] precomputed (TP path)
 ):
     """INT8 KV write: per-(token, K/V) symmetric absmax quantization
     (BASELINE config #3 — the reference has no KV quantization)."""
@@ -105,8 +115,7 @@ def write_kv_cache_quant(
     kv_new = jnp.stack([k_new, v_new], axis=2).astype(
         jnp.float32
     )                                                       # [T, Hk, 2, D]
-    absmax = jnp.max(jnp.abs(kv_new), axis=(1, 3))          # [T, 2]
-    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    scale = kv_quant_scales(k_new, v_new) if scales is None else scales
     q = jnp.clip(
         jnp.round(kv_new / scale[:, None, :, None]), -127, 127
     ).astype(jnp.int8)

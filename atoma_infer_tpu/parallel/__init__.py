@@ -12,6 +12,7 @@ collectives.
 
 from .mesh import make_mesh  # noqa: F401
 from .sharding import (  # noqa: F401
+    kv_cache_layer_sharding,
     kv_cache_sharding,
     param_shardings,
     replicated,

@@ -90,6 +90,12 @@ def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(None, None, None, TP_AXIS))
 
 
+def kv_cache_layer_sharding(mesh: Mesh) -> NamedSharding:
+    """Per-layer page-major cache [pages, bs, 2·Hk·D] — the CacheEngine's
+    per-layer-array form of :func:`kv_cache_sharding`."""
+    return NamedSharding(mesh, P(None, None, TP_AXIS))
+
+
 def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
     """Place parameters onto the mesh with TP shardings."""
     specs = param_shardings(mesh, params)
