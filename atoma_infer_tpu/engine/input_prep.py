@@ -65,6 +65,9 @@ class ModelInput:
             query_start_loc=jnp.asarray(self.query_start_loc),
             num_seqs=jnp.asarray(self.num_seqs),
             block_size=block_size,
+            # Static per-bucket flag: pure decode steps take the fused
+            # KV-write attention kernel (one query token per sequence).
+            decode_only=self.num_prefills == 0,
         )
 
 

@@ -46,6 +46,11 @@ class AttentionMetadata:
     query_start_loc: jnp.ndarray
     num_seqs: jnp.ndarray
     block_size: int = dataclasses.field(default=16, metadata=dict(static=True))
+    # Static flag: every active sequence contributes exactly one query token
+    # (a pure decode step) — enables the fused KV-write attention kernel.
+    decode_only: bool = dataclasses.field(
+        default=False, metadata=dict(static=True)
+    )
 
 
 jax.tree_util.register_dataclass(
@@ -57,7 +62,7 @@ jax.tree_util.register_dataclass(
         "query_start_loc",
         "num_seqs",
     ],
-    meta_fields=["block_size"],
+    meta_fields=["block_size", "decode_only"],
 )
 
 
@@ -87,6 +92,17 @@ def _pallas_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
         and row % 128 == 0
         and meta.block_size % 8 == 0
         and T % 8 == 0
+    )
+
+
+def _fused_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
+    """Fused decode write+attend: pure-decode batch, Pallas-compatible
+    shapes, and pages divisible into 16-row write-back windows."""
+    return (
+        meta.decode_only
+        and _use_pallas()
+        and _pallas_supported(q, kv_cache, meta)
+        and meta.block_size % 16 == 0
     )
 
 
@@ -154,6 +170,7 @@ def _meta_specs(meta: AttentionMetadata, spec) -> AttentionMetadata:
         query_start_loc=spec,
         num_seqs=spec,
         block_size=meta.block_size,
+        decode_only=meta.decode_only,
     )
 
 
@@ -198,6 +215,20 @@ def paged_attention_layer(
         tp = mesh.shape.get(TP_AXIS, 1)
 
     if tp <= 1:
+        if kv_scales is None and _fused_supported(q, kv_cache, meta):
+            from .paged_attention import ragged_paged_attention_fused
+
+            attn, kv_cache = ragged_paged_attention_fused(
+                q,
+                kv_cache,
+                k_new,
+                v_new,
+                meta,
+                scale=scale,
+                sliding_window=sliding_window,
+                soft_cap=soft_cap,
+            )
+            return attn, kv_cache, None
         if kv_scales is not None:
             kv_cache, kv_scales = write_kv_cache_quant(
                 kv_cache, kv_scales, k_new, v_new, meta.slot_mapping
@@ -228,6 +259,19 @@ def paged_attention_layer(
     if kv_scales is None:
 
         def inner(q, kv_c, k_new, v_new, meta):
+            if _fused_supported(q, kv_c, meta):
+                from .paged_attention import ragged_paged_attention_fused
+
+                return ragged_paged_attention_fused(
+                    q,
+                    kv_c,
+                    k_new,
+                    v_new,
+                    meta,
+                    scale=scale,
+                    sliding_window=sliding_window,
+                    soft_cap=soft_cap,
+                )
             kv_c = write_kv_cache(kv_c, k_new, v_new, meta.slot_mapping)
             attn = ragged_paged_attention(
                 q,

@@ -1,11 +1,15 @@
-"""Pallas TPU ragged paged-attention kernel.
+"""Pallas TPU ragged paged-attention kernel (with fused decode KV write).
 
 The TPU-native replacement for the reference's three CUDA attention paths —
 ``flash_attn_varlen`` (prefill), ``flash_attn_varlen_with_block_table``
 (prefix prefill) and ``flash_attn_kv_cache_full`` (split-KV decode)
 (ref: csrc/src/lib.rs:1160,1392,2083; csrc/kernels/flash_fwd_kernel.h) —
 expressed as ONE kernel: every query token attends causally to its sequence's
-paged KV prefix.
+paged KV prefix. For decode batches the kernel additionally FUSES the
+``reshape_and_cache`` write (ref: csrc/kernels/cache_manager.cu:140-185):
+each entry patches its newly-written KV row into the loaded chunk in VMEM and
+DMAs the patched 16-row window back to HBM — no separate per-layer scatter
+kernel, no page read-modify-write round trip.
 
 Design (TPU-first, not a port):
 - A host-side *work list* of (sequence, query-block) entries replaces the
@@ -17,15 +21,22 @@ Design (TPU-first, not a port):
   across page-group chunks, the Pallas analog of FA2's cp.async pipelining.
   Block tables live in SMEM via scalar prefetch (the "block table in SMEM"
   pattern the survey calls out, SURVEY.md §2.4).
-- Queries and outputs are *entry-major* ``[W, BQ, heads·head_dim]`` windows,
-  gathered/scattered by XLA around the kernel: every kernel DMA is statically
-  tile-aligned (ragged row offsets are not), entry output windows are
-  disjoint, and the lane dim heads·D is a 128 multiple (Mosaic requires
-  lane-aligned DMA slices). Head separation is value-level lane slicing —
-  lane→sublane reshapes are unsupported by Mosaic.
+- Queries and outputs are *entry-major, kv-head-major* windows
+  ``[W, G·BQ, Hk·D]``: row g·BQ+i holds query head h·G+g of token i in lane
+  block h. Arranged by XLA around the kernel (tiny arrays), this makes every
+  per-kv-head query group a VALUE-LEVEL LANE SLICE — no per-head staging
+  loops through scratch (round 1 spent ~Hq tiny VMEM stores per entry on
+  both q staging and output scatter; now one slice/store per kv head).
 - Online-softmax (m, l, acc) flash recurrence in f32; GQA groups q heads
-  [h·G, (h+1)·G) onto kv head h, sharing each K/V chunk slice across the
-  group's score/PV matmuls.
+  [h·G, (h+1)·G) onto kv head h, one score/PV matmul per kv head.
+
+Fused-write correctness invariant: a loaded chunk is patched with EVERY row
+of it written this step (decode ⇒ exactly the row at position kv_len−1,
+located by pure position arithmetic — slot = table[pos//bs]·bs + pos%bs is
+the slot-mapping contract, ref worker.rs:373-401). Stale loads that race an
+earlier entry's write-back are therefore harmless: the patch re-applies the
+new value, and write-backs are idempotent (pages are owned by exactly one
+sequence; CoW guarantees exclusivity before append).
 """
 
 from __future__ import annotations
@@ -41,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .attention import AttentionMetadata
 
 NEG_INF = -2.0e30
+WB_SUB = 16  # write-back window rows (bf16 sublane tile)
 
 
 def _pick_block_q(num_tokens: int, num_seq_slots: int) -> int:
@@ -91,18 +103,21 @@ def _kernel(
     block_tables_ref, # [S, P]
     seq_lens_ref,     # [S]
     qsl_ref,          # [S+1]
-    # tensor refs (HBM; q/o are entry-major so every DMA is tile-aligned)
-    q_hbm,            # [W, BQ, Hq*D]
-    kv_hbm,           # [num_pages_total, bs, 2*Hk*D] head-interleaved K|V
-    o_hbm,            # [W, BQ, Hq*D]
+    # tensor refs (q/o are entry-major, kv-head-major lanes)
+    q_hbm,            # [W, G*BQ, Hk*D]
+    kvn_ref,          # [Tp, 2*Hk*D] VMEM — staged new rows (fused write)
+    kv_hbm_in,        # [num_pages, bs, 2*Hk*D] (aliased to kv_hbm)
+    o_hbm,            # [W, G*BQ, Hk*D]
+    kv_hbm,           # cache output (aliased; head-interleaved K|V rows)
     # scratch (outer dim 2 = entry parity for cross-entry prefetch)
-    q_vmem,           # [2, BQ, Hq*D]
-    qg_vmem,          # [Hq*BQ, D] — per-kv-head query groups, g-major rows
+    q_vmem,           # [2, G*BQ, Hk*D]
     kv_vmem,          # [2, 2, CP, bs, 2*Hk*D]
-    o_vmem,           # [BQ, Hq*D]
+    o_vmem,           # [G*BQ, Hk*D]
+    wb_flag,          # SMEM [4] — write-back DMA in flight per (parity, buf)
     q_sems,           # DMA sems [2]
     kv_sems,          # DMA sems [2, 2]
     o_sem,
+    wb_sems,          # DMA sems [2, 2]
     *,
     scale: float,
     num_q_heads: int,
@@ -113,6 +128,7 @@ def _kernel(
     pages_per_chunk: int,
     sliding_window: Optional[int],
     soft_cap: Optional[float],
+    fuse_write: bool,
 ):
     e = pl.program_id(0)
     W = pl.num_programs(0)
@@ -124,15 +140,33 @@ def _kernel(
 
     BQ = block_q
     CP = pages_per_chunk
-    CHUNK = CP * block_size
+    bs = block_size
+    CHUNK = CP * bs
     num_pages = block_tables_ref.shape[1]
     max_page = kv_hbm.shape[0] - 1
     Hq, Hk, D = num_q_heads, num_kv_heads, head_dim
     G = Hq // Hk
+    GBQ = G * BQ
 
     q_start = qsl_ref[s]
     q_len = qsl_ref[s + 1] - q_start
     kv_len = seq_lens_ref[s]
+
+    def maybe_wait_wb(parity, buf):
+        """Drain a pending write-back DMA before its source buffer is
+        overwritten by a new chunk load."""
+        if not fuse_write:
+            return
+
+        @pl.when(wb_flag[2 * parity + buf] == 1)
+        def _():
+            # Wait sized to the window's byte count (dst ref shape).
+            pltpu.make_async_copy(
+                kv_vmem.at[parity, buf, 0, pl.ds(0, WB_SUB)],
+                kv_hbm.at[0, pl.ds(0, WB_SUB)],
+                wb_sems.at[parity, buf],
+            ).wait()
+            wb_flag[2 * parity + buf] = 0
 
     def page_dma(seq, parity, buf, chunk, p):
         idx = jnp.minimum(chunk * CP + p, num_pages - 1)
@@ -144,6 +178,7 @@ def _kernel(
         )
 
     def start_chunk(seq, parity, buf, chunk):
+        maybe_wait_wb(parity, buf)
         for p in range(CP):
             page_dma(seq, parity, buf, chunk, p).start()
 
@@ -161,6 +196,13 @@ def _kernel(
         return pltpu.make_async_copy(
             q_hbm.at[eidx], q_vmem.at[parity], q_sems.at[parity]
         )
+
+    if fuse_write:
+
+        @pl.when(e == 0)
+        def _():
+            for i in range(4):
+                wb_flag[i] = 0
 
     # Entry 0 starts its own q + first chunk; afterwards every entry's q and
     # first KV chunk were prefetched by its predecessor, overlapping the
@@ -184,23 +226,14 @@ def _kernel(
         nc = pl.cdiv(kv_len, CHUNK)
         q_dma(e, par).wait()
 
-        # Per-KV-head query groups [G·BQ, D] (g-major rows): the G q heads
-        # sharing kv head h are stacked along sublanes so each chunk does ONE
-        # score/PV matmul per kv head instead of G. Mosaic cannot concat
-        # lane-offset slices directly, so the slices are staged through a
-        # scratch (stores realign lane offsets) and read back as row blocks.
+        # Per-kv-head query groups are VALUE lane slices of the prearranged
+        # [G·BQ, Hk·D] window (row g·BQ+i = head h·G+g of query i, lanes
+        # h·D..(h+1)·D) — no staging.
         q_all = q_vmem[par]
-        for qh in range(Hq):
-            qg_vmem[qh * BQ : (qh + 1) * BQ, :] = q_all[
-                :, qh * D : (qh + 1) * D
-            ]
-        q_groups = [
-            qg_vmem[h * G * BQ : (h + 1) * G * BQ, :] for h in range(Hk)
-        ]
 
         # Absolute key position each query row may attend up to; row r of a
         # group is query i = r % BQ.
-        row_query = jax.lax.broadcasted_iota(jnp.int32, (G * BQ, 1), 0) % BQ
+        row_query = jax.lax.broadcasted_iota(jnp.int32, (GBQ, 1), 0) % BQ
         pos = kv_len - q_len + b * BQ + row_query  # [G·BQ, 1]
 
         def chunk_body(j, carry):
@@ -211,6 +244,54 @@ def _kernel(
                 start_chunk(s, par, (j + 1) % 2, j + 1)
 
             wait_chunk(par, buf)
+
+            if fuse_write:
+                # Patch this entry's newly written KV row (position
+                # kv_len−1, decode ⇒ q_len==1) into the loaded chunk, and
+                # write the patched 16-row window back to its HBM page.
+                w_pos = kv_len - 1
+                j_w = w_pos // CHUNK
+
+                @pl.when((j == j_w) & (q_len == 1))
+                def _():
+                    r_w = w_pos - j_w * CHUNK      # chunk-local row
+                    p_idx = r_w // bs              # page slot in chunk
+                    pr = r_w % bs                  # row within page
+                    base = pl.multiple_of((pr // WB_SUB) * WB_SUB, WB_SUB)
+                    # Staged new row: aligned-window read + mask-select
+                    # (Mosaic cannot address a single dynamic VMEM row).
+                    tb = pl.multiple_of(
+                        (q_start // WB_SUB) * WB_SUB, WB_SUB
+                    )
+                    winq = kvn_ref[pl.ds(tb, WB_SUB), :]
+                    rid = jax.lax.broadcasted_iota(
+                        jnp.int32, (WB_SUB, 1), 0
+                    )
+                    new_row = jnp.sum(
+                        jnp.where(
+                            rid == q_start - tb,
+                            winq.astype(jnp.float32),
+                            0.0,
+                        ),
+                        axis=0,
+                    )  # [2·Hk·D]
+                    win = kv_vmem[par, buf, p_idx, pl.ds(base, WB_SUB), :]
+                    patched = jnp.where(
+                        rid == pr - base,
+                        new_row[None, :].astype(win.dtype),
+                        win,
+                    )
+                    kv_vmem[par, buf, p_idx, pl.ds(base, WB_SUB), :] = patched
+                    page_w = jnp.clip(
+                        block_tables_ref[s, j_w * CP + p_idx], 0, max_page
+                    )
+                    wb = pltpu.make_async_copy(
+                        kv_vmem.at[par, buf, p_idx, pl.ds(base, WB_SUB)],
+                        kv_hbm.at[page_w, pl.ds(base, WB_SUB)],
+                        wb_sems.at[par, buf],
+                    )
+                    wb.start()
+                    wb_flag[2 * par + buf] = 1
 
             kv_all = kv_vmem[par, buf].reshape(CHUNK, 2 * Hk * D)
 
@@ -229,7 +310,7 @@ def _kernel(
                 m, l, acc = carry[h]
                 sc = (
                     jax.lax.dot_general(
-                        q_groups[h],
+                        q_all[:, h * D : (h + 1) * D],
                         kh,
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -254,9 +335,9 @@ def _kernel(
 
         init = tuple(
             (
-                jnp.full((G * BQ, 1), NEG_INF, jnp.float32),
-                jnp.zeros((G * BQ, 1), jnp.float32),
-                jnp.zeros((G * BQ, D), jnp.float32),
+                jnp.full((GBQ, 1), NEG_INF, jnp.float32),
+                jnp.zeros((GBQ, 1), jnp.float32),
+                jnp.zeros((GBQ, D), jnp.float32),
             )
             for _ in range(Hk)
         )
@@ -265,32 +346,58 @@ def _kernel(
         for h in range(Hk):
             _, l, acc = carry[h]
             out_h = acc / jnp.maximum(l, 1e-30)  # [G·BQ, D]
-            for g in range(G):
-                o_vmem[:, (h * G + g) * D : (h * G + g + 1) * D] = out_h[
-                    g * BQ : (g + 1) * BQ
-                ].astype(o_vmem.dtype)
+            o_vmem[:, h * D : (h + 1) * D] = out_h.astype(o_vmem.dtype)
 
         o_dma = pltpu.make_async_copy(o_vmem, o_hbm.at[e], o_sem)
         o_dma.start()
         o_dma.wait()
 
+    if fuse_write:
+        # Drain outstanding write-backs before the kernel exits (runs even
+        # when the final entries are inactive padding).
+        @pl.when(e == W - 1)
+        def _():
+            for parity in range(2):
+                for buf in range(2):
+                    maybe_wait_wb(parity, buf)
 
-def ragged_paged_attention_pallas(
+
+def _entries_to_gmajor(q_entries, W, BQ, Hk, G, D):
+    """[W, BQ, Hq·D] → [W, G·BQ, Hk·D] (q head h·G+g of query i lands in
+    row g·BQ+i, lane block h)."""
+    return (
+        q_entries.reshape(W, BQ, Hk, G, D)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(W, G * BQ, Hk * D)
+    )
+
+
+def _gmajor_to_entries(out_gm, W, BQ, Hk, G, D):
+    """Inverse of :func:`_entries_to_gmajor` → [W, BQ, Hq·D]."""
+    return (
+        out_gm.reshape(W, G, BQ, Hk, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(W, BQ, Hk * G * D)
+    )
+
+
+def _paged_attention_call(
     q: jnp.ndarray,         # [T, Hq, D]
     kv_cache: jnp.ndarray,  # [num_pages, block_size, 2*Hk*D] (page-major)
     meta: AttentionMetadata,
+    kvn: Optional[jnp.ndarray],  # [T, 2*Hk*D] staged new rows (fused write)
     *,
     scale: float,
-    sliding_window: Optional[int] = None,
-    soft_cap: Optional[float] = None,
-    block_q: Optional[int] = None,
-    pages_per_chunk: Optional[int] = None,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Unified prefill+decode paged attention on TPU. Returns [T, Hq, D]."""
+    sliding_window: Optional[int],
+    soft_cap: Optional[float],
+    block_q: Optional[int],
+    pages_per_chunk: Optional[int],
+    interpret: bool,
+):
     T, Hq, D = q.shape
     num_pages_total, bs_cache, row = kv_cache.shape
     Hk = row // (2 * D)
+    G = Hq // Hk
     S = meta.seq_lens.shape[0]
     P = meta.block_tables.shape[1]
     bs = meta.block_size
@@ -302,39 +409,51 @@ def ragged_paged_attention_pallas(
     CP = min(CP, P)
     W = T // BQ + S  # worst-case (seq, q_block) entries
 
+    fuse_write = kvn is not None
+    if fuse_write:
+        pad = (-kvn.shape[0]) % WB_SUB
+        if pad:
+            kvn = jnp.pad(kvn, ((0, pad), (0, 0)))
+    else:
+        kvn = jnp.zeros((WB_SUB, row), kv_cache.dtype)
+
     qsl = meta.query_start_loc
     entry_seq, entry_qb, offs = build_work_list(
         qsl, meta.num_seqs, block_q=BQ, num_entries=W
     )
 
     assert bs_cache == bs, (bs_cache, bs)
-    # Entry-major q windows [W, BQ, Hq*D]: every kernel DMA is then statically
-    # tile-aligned (arbitrary ragged row offsets are not), and entry output
-    # windows are disjoint. The page-major cache is consumed directly — no
-    # reshape, no copies.
+    # Entry-major q windows, then kv-head-major lanes: every kernel DMA is
+    # statically tile-aligned, entry output windows are disjoint, and each
+    # per-kv-head query group is a value lane slice inside the kernel.
     q2 = q.reshape(T, Hq * D)
 
     base_row = qsl[jnp.clip(entry_seq, 0, S - 1)] + entry_qb * BQ  # [W]
     row_idx = base_row[:, None] + jnp.arange(BQ, dtype=jnp.int32)[None, :]
     row_idx = jnp.clip(row_idx, 0, T - 1)
-    q_entries = q2[row_idx]  # [W, BQ, Hq*D]
+    q_entries = _entries_to_gmajor(q2[row_idx], W, BQ, Hk, G, D)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # q entries
-            pl.BlockSpec(memory_space=pl.ANY),  # fused kv cache
+            pl.BlockSpec(memory_space=pl.ANY),      # q entries
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # staged new rows
+            pl.BlockSpec(memory_space=pl.ANY),      # fused kv cache
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),      # o entries
+            pl.BlockSpec(memory_space=pl.ANY),      # cache (aliased)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, BQ, Hq * D), q.dtype),   # q windows (entry parity)
-            pltpu.VMEM((Hq * BQ, D), q.dtype),      # per-kv-head q groups
-            pltpu.VMEM((2, 2, CP, bs, 2 * Hk * D), kv_cache.dtype),
-            pltpu.VMEM((BQ, Hq * D), q.dtype),
+            pltpu.VMEM((2, G * BQ, Hk * D), q.dtype),
+            pltpu.VMEM((2, 2, CP, bs, row), kv_cache.dtype),
+            pltpu.VMEM((G * BQ, Hk * D), q.dtype),
+            pltpu.SMEM((4,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
@@ -349,18 +468,26 @@ def ragged_paged_attention_pallas(
         pages_per_chunk=CP,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
+        fuse_write=fuse_write,
     )
 
-    out_entries = pl.pallas_call(
+    out_gm, new_cache = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((W, BQ, Hq * D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, G * BQ, Hk * D), q.dtype),
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        ),
+        # Alias the cache through (operand index counts the 5 scalar-prefetch
+        # args) so fused write-backs land in the caller's buffer.
+        input_output_aliases={7: 1},
         # Must be "arbitrary": the cross-entry prefetch chain (entry e starts
         # entry e+1's DMAs) assumes sequential grid execution. A "parallel"
         # split across megacore TensorCores (v4/v5p) would leave the second
         # core waiting on DMAs its partition never started.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            has_side_effects=True,
         ),
         interpret=interpret,
     )(
@@ -370,8 +497,10 @@ def ragged_paged_attention_pallas(
         meta.seq_lens,
         qsl,
         q_entries,
+        kvn,
         kv_cache,
     )
+    out_entries = _gmajor_to_entries(out_gm, W, BQ, Hk, G, D)
 
     # Reassemble token-major output from the disjoint entry windows.
     t = jnp.arange(T, dtype=jnp.int32)
@@ -380,5 +509,69 @@ def ragged_paged_attention_pallas(
     )
     qoff = t - qsl[s_t]
     ent = jnp.clip(offs[s_t] + qoff // BQ, 0, W - 1)
-    out = out_entries[ent, qoff % BQ]  # [T, Hq*D]
-    return out.reshape(T, Hq, D)
+    out = out_entries[ent, qoff % BQ].reshape(T, Hq, D)
+    return out, new_cache
+
+
+def ragged_paged_attention_pallas(
+    q: jnp.ndarray,         # [T, Hq, D]
+    kv_cache: jnp.ndarray,  # [num_pages, block_size, 2*Hk*D] (page-major)
+    meta: AttentionMetadata,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    block_q: Optional[int] = None,
+    pages_per_chunk: Optional[int] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Unified prefill+decode paged attention on TPU (cache already contains
+    this step's K/V). Returns [T, Hq, D]."""
+    out, _ = _paged_attention_call(
+        q,
+        kv_cache,
+        meta,
+        None,
+        scale=scale,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+        block_q=block_q,
+        pages_per_chunk=pages_per_chunk,
+        interpret=interpret,
+    )
+    return out
+
+
+def ragged_paged_attention_fused(
+    q: jnp.ndarray,         # [T, Hq, D]
+    kv_cache: jnp.ndarray,  # [num_pages, block_size, 2*Hk*D] — WITHOUT this
+                            # step's K/V (the kernel writes them)
+    k_new: jnp.ndarray,     # [T, Hk, D]
+    v_new: jnp.ndarray,
+    meta: AttentionMetadata,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    interpret: bool = False,
+):
+    """Decode-only attention with the KV-cache write fused in (replaces
+    reshape_and_cache + attention, ref flash_attention.rs:360-361 order).
+    Requires every active sequence to have exactly one query token and
+    ``block_size % 16 == 0``. Returns (out [T, Hq, D], updated kv_cache)."""
+    from .kv_cache import kv_rows
+
+    assert meta.block_size % WB_SUB == 0
+    kvn = kv_rows(k_new, v_new, kv_cache.dtype)
+    return _paged_attention_call(
+        q,
+        kv_cache,
+        meta,
+        kvn,
+        scale=scale,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+        block_q=None,
+        pages_per_chunk=None,
+        interpret=interpret,
+    )

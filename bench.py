@@ -99,6 +99,7 @@ def main() -> None:
             query_start_loc=qsl,
             num_seqs=num_seqs,
             block_size=block_size,
+            decode_only=True,  # pure decode step → fused KV-write kernel
         )
         hidden, kv_cache = model.forward(
             params, tokens, positions, kv_cache, meta

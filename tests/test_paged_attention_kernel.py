@@ -215,3 +215,121 @@ class TestWorkList:
         assert list(qb[:4]) == [0, 0, 0, 1]
         assert all(s == -1 for s in seq[4:])
         assert list(np.asarray(offs)) == [0, 1, 2, 4, 4]
+
+
+class TestFusedDecodeWrite:
+    """Fused KV-write + attention (decode): the kernel must both produce
+    attention over the just-written rows AND persist them to the cache
+    (ref: reshape_and_cache + flash_attn_kv_cache in one,
+    flash_attention.rs:360-361)."""
+
+    def _run(self, rng, specs, *, num_blocks=64, block_size=16,
+             num_q_heads=8, num_kv_heads=4, head_dim=64, pad_seqs_to=None,
+             sliding_window=None, dtype=jnp.float32):
+        from atoma_infer_tpu.ops.kv_cache import kv_cache_view, write_kv_cache
+        from atoma_infer_tpu.ops.paged_attention import (
+            ragged_paged_attention_fused,
+        )
+
+        q, kv_cache, meta = make_case(
+            rng,
+            seq_specs=specs,
+            num_blocks=num_blocks,
+            block_size=block_size,
+            num_q_heads=num_q_heads,
+            num_kv_heads=num_kv_heads,
+            head_dim=head_dim,
+            pad_seqs_to=pad_seqs_to,
+            dtype=dtype,
+        )
+        T = q.shape[0]
+        S = meta.seq_lens.shape[0]
+        # Decode slot mapping: token i of seq s lands at position kv_len-1.
+        slots = np.full((T,), -1, np.int32)
+        tables = np.asarray(meta.block_tables)
+        lens = np.asarray(meta.seq_lens)
+        qsl = np.asarray(meta.query_start_loc)
+        for s in range(len(specs)):
+            pos = lens[s] - 1
+            slots[qsl[s]] = tables[s, pos // block_size] * block_size + (
+                pos % block_size
+            )
+        import dataclasses
+        meta = dataclasses.replace(
+            meta, slot_mapping=jnp.asarray(slots), decode_only=True
+        )
+
+        k_new = jnp.asarray(
+            rng.standard_normal((T, num_kv_heads, head_dim)), dtype
+        )
+        v_new = jnp.asarray(
+            rng.standard_normal((T, num_kv_heads, head_dim)), dtype
+        )
+        scale = head_dim**-0.5
+
+        # Expected: write rows with the XLA scatter, then oracle attention.
+        want_cache = write_kv_cache(kv_cache, k_new, v_new, meta.slot_mapping)
+        k_view, v_view = kv_cache_view(want_cache, num_kv_heads, head_dim)
+        want = np.asarray(
+            ragged_paged_attention_xla(
+                q, k_view, v_view, meta.block_tables, meta.seq_lens,
+                meta.query_start_loc, scale=scale, block_size=block_size,
+                sliding_window=sliding_window,
+            )
+        )
+
+        got, new_cache = ragged_paged_attention_fused(
+            q, kv_cache, k_new, v_new, meta, scale=scale,
+            sliding_window=sliding_window, interpret=True,
+        )
+        return np.asarray(got), want, np.asarray(new_cache), np.asarray(
+            want_cache
+        ), qsl
+
+    def test_decode_batch_fused(self):
+        rng = np.random.default_rng(20)
+        specs = [(1, kv) for kv in (1, 5, 16, 17, 64, 128, 33)]
+        got, want, new_cache, want_cache, qsl = self._run(
+            rng, specs, num_blocks=32, pad_seqs_to=8
+        )
+        assert_close(got, want, qsl)
+        np.testing.assert_array_equal(new_cache, want_cache)
+
+    def test_fused_multi_chunk(self):
+        rng = np.random.default_rng(21)
+        got, want, new_cache, want_cache, qsl = self._run(
+            rng, [(1, 1000), (1, 700)], num_blocks=128
+        )
+        assert_close(got, want, qsl)
+        np.testing.assert_array_equal(new_cache, want_cache)
+
+    def test_fused_block_boundary(self):
+        rng = np.random.default_rng(22)
+        # New token at the first row of a fresh page and at the last row.
+        got, want, new_cache, want_cache, qsl = self._run(
+            rng, [(1, 17), (1, 32), (1, 16), (1, 49)], num_blocks=32
+        )
+        assert_close(got, want, qsl)
+        np.testing.assert_array_equal(new_cache, want_cache)
+
+    def test_fused_bf16_block32(self):
+        rng = np.random.default_rng(23)
+        got, want, new_cache, want_cache, qsl = self._run(
+            rng, [(1, 40), (1, 70)], num_blocks=16, block_size=32,
+            dtype=jnp.bfloat16,
+        )
+        total = int(qsl[-1])
+        np.testing.assert_allclose(
+            got[:total].astype(np.float32),
+            want[:total].astype(np.float32),
+            atol=8e-2, rtol=5e-2,
+        )
+        np.testing.assert_array_equal(new_cache, want_cache)
+
+    def test_fused_sliding_window(self):
+        rng = np.random.default_rng(24)
+        got, want, new_cache, want_cache, qsl = self._run(
+            rng, [(1, 90), (1, 30)], num_blocks=16, sliding_window=24
+        )
+        assert_close(got, want, qsl)
+        np.testing.assert_array_equal(new_cache, want_cache)
