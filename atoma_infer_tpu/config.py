@@ -86,6 +86,10 @@ class CacheConfig:
     num_device_blocks_override: Optional[int] = None
     num_host_blocks_override: Optional[int] = None
     sliding_window: Optional[int] = None
+    # Content-hash prefix caching over the device block pool (the reference
+    # ships its evictor unwired — block_manager.rs:1045-1119; here it is
+    # end-to-end: cached prompt blocks skip prefill compute).
+    enable_prefix_caching: bool = False
     # Filled in by profiling:
     num_device_blocks: Optional[int] = None
     num_host_blocks: Optional[int] = None

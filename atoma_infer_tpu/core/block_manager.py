@@ -47,6 +47,7 @@ class BlockSpaceManager:
         num_host_blocks: int,
         watermark: float = 0.01,
         sliding_window: Optional[int] = None,
+        enable_prefix_caching: bool = False,
     ):
         if watermark < 0:
             raise ValueError("watermark must be >= 0")
@@ -64,9 +65,21 @@ class BlockSpaceManager:
                     "sliding_window must be a multiple of block_size"
                 )
             self.block_sliding_window = sliding_window // block_size
-        self.device_allocator = BlockAllocator(
-            BlockDevice.DEVICE, block_size, num_device_blocks
+        # Prefix caching is incompatible with sliding-window block reuse
+        # (reused physical blocks hold rotating content, not a stable prefix).
+        self.enable_prefix_caching = (
+            enable_prefix_caching and self.block_sliding_window is None
         )
+        if self.enable_prefix_caching:
+            from .block_allocator import CachedBlockAllocator
+
+            self.device_allocator = CachedBlockAllocator(
+                BlockDevice.DEVICE, block_size, num_device_blocks
+            )
+        else:
+            self.device_allocator = BlockAllocator(
+                BlockDevice.DEVICE, block_size, num_device_blocks
+            )
         self.host_allocator = BlockAllocator(
             BlockDevice.HOST, block_size, num_host_blocks
         )
@@ -99,11 +112,19 @@ class BlockSpaceManager:
 
     def allocate(self, seq_group: SequenceGroup) -> None:
         """Allocate the prompt's blocks once, shared by every waiting sequence
-        with ref_count = #waiting seqs (ref: block_manager.rs:195-237)."""
+        with ref_count = #waiting seqs (ref: block_manager.rs:195-237).
+
+        With prefix caching enabled, full prompt blocks are allocated by
+        content hash: a hit on an already-computed block makes its tokens
+        skip prefill — ``num_computed_tokens`` is advanced to the cached
+        prefix (capped so at least one prompt token is always recomputed to
+        produce first-step logits)."""
         waiting = seq_group.get_seqs(SequenceStatus.WAITING)
         assert waiting, "allocate() on a group with no waiting sequences"
         seq = waiting[0]
         num_blocks = self._num_required_blocks(seq)
+        caching = self.enable_prefix_caching
+        num_hashable = seq.num_full_prompt_blocks if caching else 0
         table: BlockTable = []
         for logical_idx in range(num_blocks):
             if (
@@ -112,11 +133,33 @@ class BlockSpaceManager:
             ):  # pragma: no cover - num_blocks already capped
                 table.append(table[logical_idx % self.block_sliding_window])
                 continue
-            block = self.device_allocator.allocate()
-            block.ref_count = len(waiting)
+            if caching and logical_idx < num_hashable:
+                block = self.device_allocator.allocate(
+                    seq.hash_of_block(logical_idx),
+                    (logical_idx + 1) * self.block_size,
+                )
+            else:
+                block = self.device_allocator.allocate()
+            # allocate() returns the block with one reference (fresh or hit);
+            # the group's remaining candidates share it.
+            block.ref_count += len(waiting) - 1
             table.append(block)
         for s in waiting:
             self.block_tables[s.seq_id] = list(table)
+
+        if caching:
+            cached = 0
+            for block in table[:num_hashable]:
+                if not block.computed:
+                    break
+                cached += self.block_size
+            # Leave ≥1 token to recompute (its idempotent rewrite into the
+            # shared block stores identical content).
+            cached = min(cached, seq.get_prompt_len() - 1)
+            for s in waiting:
+                delta = cached - s.sequence_data.get_num_computed_tokens()
+                if delta > 0:
+                    s.sequence_data.update_num_computed_tokens(delta)
 
     # ----------------------------------------------------------- decode append
     def can_append_slots(

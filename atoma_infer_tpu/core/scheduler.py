@@ -197,6 +197,9 @@ class Scheduler:
             num_device_blocks=cache_config.num_device_blocks or 0,
             num_host_blocks=cache_config.num_host_blocks or 0,
             sliding_window=cache_config.sliding_window,
+            enable_prefix_caching=getattr(
+                cache_config, "enable_prefix_caching", False
+            ),
         )
         self.policy = policy or FcfsPolicy()
         self.waiting: Deque[SequenceGroup] = deque()
@@ -261,12 +264,22 @@ class Scheduler:
 
             seq_data = {}
             block_tables: Dict[int, List[int]] = {}
+            computed_block_nums: Optional[List[int]] = None
             for seq in group.get_seqs(SequenceStatus.RUNNING):
                 seq_data[seq.seq_id] = seq.sequence_data
                 block_tables[seq.seq_id] = self.block_manager.get_block_table_ids(
                     seq.seq_id
                 )
                 self.block_manager.access_all_blocks_in_sequence(seq, now)
+                if self.block_manager.enable_prefix_caching:
+                    # Mark fully-written blocks computed (their tokens were
+                    # processed in earlier steps) and report the computed
+                    # prefix to the worker (ref: block_manager.rs:1045-1119).
+                    self.block_manager.compute_full_blocks_in_sequence(seq)
+                    if group.is_prefill():
+                        computed_block_nums = (
+                            self.block_manager.get_all_computed_blocks(seq)
+                        )
 
             is_prompt = group.is_prefill()
             do_sample = True
@@ -290,7 +303,7 @@ class Scheduler:
                     stopping_criteria=group.stopping_criteria,
                     do_sample=do_sample,
                     token_chunk_size=token_chunk_size,
-                    computed_block_nums=None,
+                    computed_block_nums=computed_block_nums,
                     logprobs=group.logprobs,
                 )
             )
@@ -484,6 +497,18 @@ class Scheduler:
 
             self.waiting.popleft()
             self._allocate_and_set_running(group)
+            # Prefix-cache hits discovered during allocation advance
+            # num_computed_tokens — re-derive the chunk so cached prompt
+            # tokens are never re-scheduled (the budget check above used the
+            # conservative pre-allocation count).
+            num_new_tokens = sum(
+                s.get_num_new_tokens()
+                for s in group.get_seqs(SequenceStatus.RUNNING)
+            )
+            if enable_chunking and group.num_seqs(SequenceStatus.RUNNING) == 1:
+                num_new_tokens = min(
+                    num_new_tokens, budget.remaining_token_budget()
+                )
             out.seq_groups.append(
                 ScheduledSequenceGroup(
                     seq_group=group, token_chunk_size=num_new_tokens

@@ -201,7 +201,12 @@ class LlmService:
             model, params, cache_engine, config.scheduler, config.cache
         )
         block_manager = None
-        if config.scheduler.use_native_core:
+        if config.scheduler.use_native_core and config.cache.enable_prefix_caching:
+            logger.info(
+                "prefix caching enabled — using the Python block manager "
+                "(the native core does not implement content-hash caching)"
+            )
+        elif config.scheduler.use_native_core:
             try:
                 from ..native.block_manager import NativeBlockSpaceManager
 

@@ -176,9 +176,11 @@ class NativeBlockSpaceManager:
     def get_num_free_host_blocks(self) -> int:
         return self._lib.abm_num_free_host(self._h)
 
-    # Prefix-caching groundwork + LRU touch are no-ops in the native core for
-    # now (parity with the reference, whose evictor is declared but unwired —
-    # SURVEY.md §2.2).
+    # Prefix-caching groundwork + LRU touch are no-ops in the native core
+    # (LlmService auto-falls back to the Python block manager when
+    # enable_prefix_caching is set).
+    enable_prefix_caching = False
+
     def access_all_blocks_in_sequence(self, seq, now) -> None:
         pass
 

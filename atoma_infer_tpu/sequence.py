@@ -236,6 +236,19 @@ class Sequence:
         rem = self.get_len() % self.block_size
         return 0 if rem == 0 else self.block_size - rem
 
+    def hash_of_block(self, logical_idx: int) -> int:
+        """Content hash of a FULL prompt block: all prompt tokens up to and
+        including the block (prefix-identity, ref: sequence.rs:571-580 —
+        declared there, wired here for prefix caching)."""
+        n = (logical_idx + 1) * self.block_size
+        assert n <= self.get_prompt_len(), "only full prompt blocks are hashed"
+        return hash(tuple(self.sequence_data.prompt_token_ids[:n]))
+
+    @property
+    def num_full_prompt_blocks(self) -> int:
+        """Prompt blocks that are completely filled by prompt tokens."""
+        return self.get_prompt_len() // self.block_size
+
     # -- lifecycle --------------------------------------------------------------
     def is_finished(self) -> bool:
         return self.status.is_finished
