@@ -305,6 +305,7 @@ class Scheduler:
                     token_chunk_size=token_chunk_size,
                     computed_block_nums=computed_block_nums,
                     logprobs=group.logprobs,
+                    top_n_tokens=getattr(group, "top_n_tokens", 0),
                 )
             )
         return metadata_list, outputs

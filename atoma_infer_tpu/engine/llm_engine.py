@@ -51,6 +51,9 @@ class InferenceOutput:
     logprobs: List[float]
     finish_reason: Optional[str]
     stop_reason: Optional[object] = None
+    # Per generated token: top-n (token_id, logprob) alternatives, present
+    # only when the request asked for top_n_tokens.
+    top_logprobs: Optional[List[List[tuple]]] = None
 
 
 @dataclasses.dataclass
@@ -247,6 +250,8 @@ class LlmEngine:
     def _update_sequence(self, group: SequenceGroup, seq: Sequence, seq_out) -> None:
         """Append token, detokenize, stop checks (ref: llm_engine.rs:367-521)."""
         seq.append_token_id(seq_out.output_token, seq_out.logprob)
+        if seq_out.top_tokens is not None:
+            seq.output_logprobs[-1].top_tokens = seq_out.top_tokens
         metrics.GENERATED_TOKENS.inc()
         new_text = self.detokenizer.decode_sequence_inplace(seq)
 
@@ -326,6 +331,11 @@ class LlmEngine:
                     logprobs=[lp.logprob for lp in s.output_logprobs],
                     finish_reason=s.status.finished_reason,
                     stop_reason=s.stop_reason,
+                    top_logprobs=(
+                        [lp.top_tokens or [] for lp in s.output_logprobs]
+                        if getattr(group, "top_n_tokens", 0) > 0
+                        else None
+                    ),
                 )
                 for s in seqs
             ],

@@ -281,6 +281,7 @@ class LlmService:
             stopping_criteria=valid.stopping_criteria,
             logprobs=valid.logprobs,
             best_of=valid.best_of,
+            top_n_tokens=valid.top_n_tokens,
         )
         group.num_return = max(valid.n, 1)
         loop = asyncio.get_running_loop()

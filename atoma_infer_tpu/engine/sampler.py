@@ -35,6 +35,7 @@ class SamplingTensors:
     temperature: np.ndarray     # [S] f32
     top_k: np.ndarray           # [S] i32 (0 = disabled)
     top_p: np.ndarray           # [S] f32 (1.0 = disabled)
+    typical_p: np.ndarray       # [S] f32 (1.0 = disabled)
     do_sample: np.ndarray       # [S] bool
     seeds: np.ndarray           # [S] u32
     repetition_penalty: np.ndarray  # [S] f32 (1.0 = disabled)
@@ -42,6 +43,8 @@ class SamplingTensors:
     recent_tokens: np.ndarray   # [S, PENALTY_WINDOW] i32 (-1 pad)
     needs_sampling: bool        # any do_sample → compile the stochastic path
     needs_penalties: bool
+    needs_typical: bool
+    top_n: int                  # static: max top_n_tokens requested (0 = off)
 
     @classmethod
     def build(
@@ -49,11 +52,13 @@ class SamplingTensors:
         params_list: List[NextTokenChooserParameters],
         recent_token_lists: List[List[int]],
         num_slots: int,
+        top_n_list: Optional[List[int]] = None,
     ) -> "SamplingTensors":
         S = num_slots
         t = np.ones(S, dtype=np.float32)
         tk = np.zeros(S, dtype=np.int32)
         tp = np.ones(S, dtype=np.float32)
+        typ = np.ones(S, dtype=np.float32)
         ds = np.zeros(S, dtype=bool)
         sd = np.zeros(S, dtype=np.uint32)
         rp = np.ones(S, dtype=np.float32)
@@ -63,6 +68,7 @@ class SamplingTensors:
             t[i] = max(p.temperature, 1e-5)
             tk[i] = max(p.top_k, 0)
             tp[i] = p.top_p
+            typ[i] = getattr(p, "typical_p", 1.0)
             ds[i] = p.do_sample and p.temperature > 1e-5
             sd[i] = np.uint32(p.seed & 0xFFFFFFFF)
             rp[i] = p.repetition_penalty
@@ -78,6 +84,7 @@ class SamplingTensors:
             temperature=t,
             top_k=tk,
             top_p=tp,
+            typical_p=typ,
             do_sample=ds,
             seeds=sd,
             repetition_penalty=rp,
@@ -85,6 +92,8 @@ class SamplingTensors:
             recent_tokens=recent,
             needs_sampling=bool(ds.any()),
             needs_penalties=needs_penalties,
+            needs_typical=bool((typ < 1.0).any()),
+            top_n=max(top_n_list) if top_n_list else 0,
         )
 
 
@@ -137,6 +146,27 @@ def _top_p_mask(logits: jnp.ndarray, top_p: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(keep, logits, -jnp.inf)
 
 
+def _typical_p_mask(logits: jnp.ndarray, typical_p: jnp.ndarray) -> jnp.ndarray:
+    """Locally-typical filtering (Meister et al., 2022; the reference
+    validates typical_p — validation.rs:228-240 — but never applies it; here
+    it is live): keep the tokens whose surprisal is closest to the
+    distribution's entropy, accumulating probability mass to typical_p."""
+    S = logits.shape[0]
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(lp)
+    ent = -jnp.sum(p * jnp.where(p > 0, lp, 0.0), axis=-1, keepdims=True)
+    dev = jnp.abs(-lp - ent)
+    order = jnp.argsort(dev, axis=-1)              # ascending deviation
+    p_sorted = jnp.take_along_axis(p, order, axis=-1)
+    cum = jnp.cumsum(p_sorted, axis=-1)
+    keep_sorted = (cum - p_sorted) < typical_p[:, None]  # ≥1 token kept
+    keep = jnp.zeros_like(keep_sorted).at[
+        jnp.arange(S, dtype=jnp.int32)[:, None], order
+    ].set(keep_sorted)
+    keep |= typical_p[:, None] >= 1.0
+    return jnp.where(keep, logits, -jnp.inf)
+
+
 def sample(
     logits: jnp.ndarray,        # [S, V] f32 (last-token logits per sequence)
     *,
@@ -151,9 +181,12 @@ def sample(
     step: jnp.ndarray,          # [] i32 — decode step counter for fold_in
     needs_sampling: bool,       # static: compile the stochastic path?
     needs_penalties: bool,      # static: compile the penalty path?
+    typical_p: Optional[jnp.ndarray] = None,
+    needs_typical: bool = False,
+    top_n: int = 0,             # static: also return each row's top-n tokens
     max_top_k: int = 128,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (sampled token ids [S] i32, logprobs [S] f32)."""
+):
+    """Returns (token ids [S] i32, logprobs [S] f32[, top-n (ids, logprobs)])."""
     if needs_penalties:
         logits = apply_penalties(
             logits, recent_tokens, repetition_penalty, frequency_penalty
@@ -170,6 +203,8 @@ def sample(
         scaled = logits / temperature[:, None]
         scaled = _top_k_mask(scaled, top_k, max_top_k)
         scaled = _top_p_mask(scaled, top_p)
+        if needs_typical and typical_p is not None:
+            scaled = _typical_p_mask(scaled, typical_p)
 
         def per_seq_gumbel(seed):
             key = jax.random.fold_in(
@@ -185,4 +220,9 @@ def sample(
     logprob = jnp.take_along_axis(
         logprobs_full, chosen[:, None], axis=-1
     )[:, 0]
-    return chosen, logprob
+    if top_n > 0:
+        # Top-n alternative tokens per row (TGI-style top_n_tokens; the
+        # reference accepts the parameter but returns nothing for it).
+        top_lps, top_ids = jax.lax.top_k(logprobs_full, top_n)
+        return chosen, logprob, (top_ids.astype(jnp.int32), top_lps)
+    return chosen, logprob, None

@@ -58,7 +58,12 @@ class ModelWorker:
         self._step_counter = 0
         self._step_fn = jax.jit(
             self._step,
-            static_argnames=("needs_sampling", "needs_penalties"),
+            static_argnames=(
+                "needs_sampling",
+                "needs_penalties",
+                "needs_typical",
+                "top_n",
+            ),
             donate_argnames=("kv_cache", "kv_scales"),
         )
 
@@ -77,6 +82,8 @@ class ModelWorker:
         *,
         needs_sampling: bool,
         needs_penalties: bool,
+        needs_typical: bool,
+        top_n: int,
     ):
         if kv_scales is not None:
             hidden, kv_cache, kv_scales = self.model.forward(
@@ -90,11 +97,12 @@ class ModelWorker:
         # Last-token rows only, before the LM head (ref: llama.rs:474-477).
         sel = hidden[selected_token_indices]
         logits = self.model.compute_logits(params, sel)  # [S, V] f32
-        tokens, logprobs = sample(
+        tokens, logprobs, top_tokens = sample(
             logits,
             temperature=sampling["temperature"],
             top_k=sampling["top_k"],
             top_p=sampling["top_p"],
+            typical_p=sampling["typical_p"],
             do_sample=sampling["do_sample"],
             seeds=sampling["seeds"],
             repetition_penalty=sampling["repetition_penalty"],
@@ -103,8 +111,10 @@ class ModelWorker:
             step=step,
             needs_sampling=needs_sampling,
             needs_penalties=needs_penalties,
+            needs_typical=needs_typical,
+            top_n=top_n,
         )
-        return kv_cache, kv_scales, tokens, logprobs
+        return kv_cache, kv_scales, tokens, logprobs, top_tokens
 
     # ------------------------------------------------------------------ public
     def execute_model(
@@ -135,6 +145,7 @@ class ModelWorker:
 
         params_list = []
         recent = []
+        top_n_list = []
         for meta in request.sequence_groups_metadata:
             for idx, (seq_id, seq_data) in enumerate(meta.seq_data.items()):
                 p = meta.next_token_chooser_params
@@ -143,12 +154,14 @@ class ModelWorker:
                     p = _dc.replace(p, seed=p.seed + idx)
                 params_list.append(p)
                 recent.append(seq_data.get_token_ids()[-PENALTY_WINDOW:])
-        sampling = SamplingTensors.build(params_list, recent, S)
+                top_n_list.append(meta.top_n_tokens)
+        sampling = SamplingTensors.build(params_list, recent, S, top_n_list)
 
         sampling_arrays = {
             "temperature": jnp.asarray(sampling.temperature),
             "top_k": jnp.asarray(sampling.top_k),
             "top_p": jnp.asarray(sampling.top_p),
+            "typical_p": jnp.asarray(sampling.typical_p),
             "do_sample": jnp.asarray(
                 sampling.do_sample & model_input.sample_mask
             ),
@@ -158,7 +171,7 @@ class ModelWorker:
             "recent_tokens": jnp.asarray(sampling.recent_tokens),
         }
 
-        kv_cache, kv_scales, tokens, logprobs = self._step_fn(
+        kv_cache, kv_scales, tokens, logprobs, top_out = self._step_fn(
             self.params,
             self.cache_engine.kv_cache,
             self.cache_engine.kv_scales,
@@ -170,6 +183,8 @@ class ModelWorker:
             jnp.asarray(self._step_counter, dtype=jnp.int32),
             needs_sampling=sampling.needs_sampling,
             needs_penalties=sampling.needs_penalties,
+            needs_typical=sampling.needs_typical,
+            top_n=sampling.top_n,
         )
         self.cache_engine.kv_cache = kv_cache
         if kv_scales is not None:
@@ -178,6 +193,10 @@ class ModelWorker:
 
         tokens_np = np.asarray(tokens)
         logprobs_np = np.asarray(logprobs)
+        top_ids_np = top_lps_np = None
+        if top_out is not None:
+            top_ids_np = np.asarray(top_out[0])
+            top_lps_np = np.asarray(top_out[1])
         elapsed = time.monotonic() - t0
 
         # Package per-group outputs (ref: model_executor.rs:339-354).
@@ -186,11 +205,19 @@ class ModelWorker:
         for meta in request.sequence_groups_metadata:
             seq_outputs: Dict[int, SequenceOutput] = {}
             for seq_id in meta.seq_data:
+                top_tokens = None
+                if top_ids_np is not None and meta.top_n_tokens > 0:
+                    n = min(meta.top_n_tokens, top_ids_np.shape[1])
+                    top_tokens = [
+                        (int(top_ids_np[i, j]), float(top_lps_np[i, j]))
+                        for j in range(n)
+                    ]
                 seq_outputs[seq_id] = SequenceOutput(
                     parent_seq_id=seq_id,
                     output_token=int(tokens_np[i]),
                     logprob=float(logprobs_np[i]),
                     is_new_token=meta.do_sample,
+                    top_tokens=top_tokens,
                 )
                 i += 1
             outputs[meta.request_id] = SequenceGroupOutput(

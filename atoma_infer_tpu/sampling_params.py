@@ -51,7 +51,7 @@ class NextTokenChooserParameters:
     temperature: float = 1.0
     top_k: int = 0                 # 0 = disabled
     top_p: float = 1.0             # 1.0 = disabled
-    typical_p: float = 1.0         # 1.0 = disabled (accepted, not applied; parity w/ ref)
+    typical_p: float = 1.0         # 1.0 = disabled (locally-typical filtering)
     do_sample: bool = False
     seed: int = DEFAULT_SEED
     repetition_penalty: float = 1.0

@@ -173,6 +173,7 @@ class LogProb:
     token_id: int
     logprob: float
     decoded_token: Optional[str] = None
+    top_tokens: Optional[List[tuple]] = None
 
 
 class Sequence:
@@ -320,6 +321,7 @@ class SequenceGroup:
         stopping_criteria: Optional[StoppingCriteriaParameters] = None,
         logprobs: bool = False,
         best_of: int = 1,
+        top_n_tokens: int = 0,
     ):
         if not sequences:
             raise ValueError("SequenceGroup requires at least one sequence")
@@ -333,6 +335,7 @@ class SequenceGroup:
         self.stopping_criteria = stopping_criteria or StoppingCriteriaParameters()
         self.logprobs = logprobs
         self.best_of = best_of
+        self.top_n_tokens = top_n_tokens
         # Streaming channel attached by the engine for SSE requests.
         self.stream: bool = False
 
@@ -431,6 +434,7 @@ class SequenceGroupMetadata:
     token_chunk_size: int = 1
     computed_block_nums: Optional[List[int]] = None
     logprobs: bool = False
+    top_n_tokens: int = 0
 
 
 @dataclasses.dataclass
@@ -441,6 +445,9 @@ class SequenceOutput:
     output_token: int
     logprob: float
     is_new_token: bool = True
+    # Top-n alternative (token_id, logprob) pairs for this step
+    # (TGI-style top_n_tokens; absent unless requested).
+    top_tokens: Optional[List[tuple]] = None
 
 
 @dataclasses.dataclass

@@ -20,12 +20,49 @@ class ApiError(ValueError):
     """Bad request body (HTTP 400/422)."""
 
 
-def parse_request_body(body: Dict[str, Any]) -> Dict[str, Any]:
+# The reference hard-validates against this 20-model enum
+# (ref: server/src/api/chat_completions.rs:28-129). Locally-served model
+# names (paths, tiny-random) are additionally accepted via ``served_model``.
+KNOWN_MODELS = frozenset(
+    {
+        "meta-llama/Meta-Llama-2-7b",
+        "meta-llama/Llama-2-7b-chat-hf",
+        "meta-llama/Llama-2-70b-hf",
+        "meta-llama/Meta-Llama-3-8B",
+        "meta-llama/Meta-Llama-3-8B-Instruct",
+        "meta-llama/Meta-Llama-3-70B",
+        "meta-llama/Meta-Llama-3-70B-Instruct",
+        "meta-llama/Llama-3.1-8B",
+        "meta-llama/Llama-3.1-8B-Instruct",
+        "meta-llama/Llama-3.1-70B",
+        "meta-llama/Llama-3.1-70B-Instruct",
+        "meta-llama/Llama-3.1-405B",
+        "meta-llama/Llama-3.1-405B-Instruct",
+        "meta-llama/Llama-3.2-1B",
+        "meta-llama/Llama-3.2-1B-Instruct",
+        "meta-llama/Llama-3.2-3B",
+        "meta-llama/Llama-3.2-3B-Instruct",
+        "NousResearch/Hermes-3-Llama-3.1-8B",
+        "NousResearch/Hermes-3-Llama-3.1-70B",
+        "NousResearch/Hermes-3-Llama-3.1-405B",
+    }
+)
+
+
+def parse_request_body(
+    body: Dict[str, Any], served_model: Optional[str] = None
+) -> Dict[str, Any]:
     """Light structural validation of a chat-completions body."""
     if not isinstance(body, dict):
         raise ApiError("request body must be a JSON object")
     if "model" not in body or not isinstance(body["model"], str):
         raise ApiError("'model' is required and must be a string")
+    model = body["model"]
+    if model not in KNOWN_MODELS and model != served_model:
+        raise ApiError(
+            f"unknown model {model!r}; serve it or use one of the supported "
+            f"model ids (see /v1/models)"
+        )
     messages = body.get("messages")
     if not isinstance(messages, list) or not messages:
         raise ApiError("'messages' must be a non-empty array")
@@ -62,6 +99,10 @@ def to_generate_request(body: Dict[str, Any]) -> GenerateRequest:
         n=body.get("n") or 1,
         best_of=body.get("best_of"),
         decoder_input_details=bool(body.get("logprobs")),
+        typical_p=body.get("typical_p"),
+        top_n_tokens=(
+            body.get("top_logprobs") if body.get("logprobs") else None
+        ),
     )
     return GenerateRequest(
         request_id=f"chatcmpl-{uuid.uuid4().hex}",
@@ -103,8 +144,26 @@ def completion_response(
                 "logprobs": (
                     {
                         "content": [
-                            {"token": str(t), "logprob": lp}
-                            for t, lp in zip(o.token_ids, o.logprobs)
+                            {
+                                "token": str(t),
+                                "logprob": lp,
+                                **(
+                                    {
+                                        "top_logprobs": [
+                                            {"token": str(tt), "logprob": tlp}
+                                            for tt, tlp in top
+                                        ]
+                                    }
+                                    if top is not None
+                                    else {}
+                                ),
+                            }
+                            for t, lp, top in zip(
+                                o.token_ids,
+                                o.logprobs,
+                                o.top_logprobs
+                                or [None] * len(o.token_ids),
+                            )
                         ]
                     }
                     if o.logprobs

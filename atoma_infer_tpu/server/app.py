@@ -37,8 +37,9 @@ async def completion_handler(request: web.Request) -> web.StreamResponse:
     """POST /v1/chat/completions (ref: server.rs:248-326)."""
     service: LlmService = request.app["service"]
     metrics.REQUESTS_TOTAL.inc()
+    served = service.config.model.model_name
     try:
-        body = api.parse_request_body(await request.json())
+        body = api.parse_request_body(await request.json(), served_model=served)
     except api.ApiError as e:
         return _error(400, str(e))
     except json.JSONDecodeError:
@@ -155,6 +156,57 @@ async def openapi_handler(request: web.Request) -> web.Response:
     return web.json_response(_OPENAPI_SPEC)
 
 
+async def models_handler(request: web.Request) -> web.Response:
+    """GET /v1/models — served model + the supported model-id enum."""
+    service: LlmService = request.app["service"]
+    served = service.config.model.model_name
+    ids = [served] + sorted(api.KNOWN_MODELS - {served})
+    return web.json_response(
+        {
+            "object": "list",
+            "data": [
+                {"id": m, "object": "model", "owned_by": "atoma-infer-tpu"}
+                for m in ids
+            ],
+        }
+    )
+
+
+_DOCS_HTML = """<!doctype html>
+<html><head><title>atoma-infer-tpu API</title><style>
+body{font-family:system-ui,sans-serif;margin:2em;max-width:60em}
+h1{font-size:1.4em} .m{display:inline-block;min-width:3.5em;font-weight:700;
+color:#fff;background:#2a7;border-radius:4px;padding:2px 8px;margin-right:8px;
+text-align:center} .m.post{background:#27c} .path{font-family:monospace;
+font-size:1.05em} .op{margin:1em 0;padding:.6em;border:1px solid #ddd;
+border-radius:6px} pre{background:#f6f6f6;padding:.8em;overflow:auto}
+</style></head><body><h1>atoma-infer-tpu API</h1>
+<p>Interactive reference rendered from <a href="/openapi.json">openapi.json</a>
+(the reference serves Swagger UI here — server.rs:41).</p>
+<div id="ops">loading…</div>
+<script>
+fetch('/openapi.json').then(r=>r.json()).then(spec=>{
+  const el=document.getElementById('ops'); el.innerHTML='';
+  for(const [path,methods] of Object.entries(spec.paths)){
+    for(const [method,op] of Object.entries(methods)){
+      const d=document.createElement('div'); d.className='op';
+      let html=`<span class="m ${method}">${method.toUpperCase()}</span>`+
+        `<span class="path">${path}</span><p>${op.summary||''}</p>`;
+      const schema=op.requestBody?.content?.['application/json']?.schema;
+      if(schema) html+=`<details><summary>request schema</summary>`+
+        `<pre>${JSON.stringify(schema,null,2)}</pre></details>`;
+      d.innerHTML=html; el.appendChild(d);
+    }
+  }
+});
+</script></body></html>"""
+
+
+async def docs_handler(request: web.Request) -> web.Response:
+    """GET /docs — self-contained API docs page (no external assets)."""
+    return web.Response(text=_DOCS_HTML, content_type="text/html")
+
+
 _OPENAPI_SPEC = {
     "openapi": "3.0.0",
     "info": {"title": "atoma-infer-tpu", "version": "0.1.0"},
@@ -174,8 +226,10 @@ _OPENAPI_SPEC = {
             "post": {"summary": "Validate a request body against the schema"}
         },
         "/v1/abort/{request_id}": {"post": {"summary": "Abort a request"}},
+        "/v1/models": {"get": {"summary": "Served + supported model ids"}},
         "/healthz": {"get": {"summary": "Liveness probe"}},
         "/metrics": {"get": {"summary": "Prometheus metrics"}},
+        "/docs": {"get": {"summary": "This documentation page"}},
     },
 }
 
@@ -189,6 +243,8 @@ def build_app(service: LlmService) -> web.Application:
     app.router.add_get("/healthz", healthz_handler)
     app.router.add_get("/metrics", metrics_handler)
     app.router.add_get("/openapi.json", openapi_handler)
+    app.router.add_get("/v1/models", models_handler)
+    app.router.add_get("/docs", docs_handler)
 
     async def start_engine(app):
         app["engine_task"] = asyncio.create_task(service.engine.run())

@@ -175,3 +175,60 @@ class TestChatTemplates:
         tools = [{"type": "function", "function": {"name": "get_weather"}}]
         out = render_llama3(BODY["messages"], tools)
         assert "get_weather" in out
+
+    def test_unknown_model_rejected(self, client):
+        c, loop = client
+
+        async def go():
+            body = dict(BODY, model="definitely-not-a-model")
+            resp = await c.post("/v1/chat/completions", json=body)
+            assert resp.status == 400
+            data = await resp.json()
+            assert "unknown model" in data["error"]["message"]
+            # Known reference-enum ids pass model validation (they then fail
+            # later only if the chat template needs a family — llama works).
+            body2 = dict(BODY, model="meta-llama/Llama-3.2-1B-Instruct")
+            resp2 = await c.post("/v1/chat/completions", json=body2)
+            assert resp2.status == 200
+
+        loop.run_until_complete(go())
+
+    def test_models_endpoint(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.get("/v1/models")
+            assert resp.status == 200
+            data = await resp.json()
+            ids = [m["id"] for m in data["data"]]
+            assert "tiny-random" in ids
+            assert "meta-llama/Llama-3.1-8B-Instruct" in ids
+
+        loop.run_until_complete(go())
+
+    def test_docs_page(self, client):
+        c, loop = client
+
+        async def go():
+            resp = await c.get("/docs")
+            assert resp.status == 200
+            text = await resp.text()
+            assert "openapi.json" in text
+
+        loop.run_until_complete(go())
+
+    def test_top_logprobs_in_response(self, client):
+        c, loop = client
+
+        async def go():
+            body = dict(BODY, logprobs=True, top_logprobs=2, max_tokens=3)
+            resp = await c.post("/v1/chat/completions", json=body)
+            assert resp.status == 200, await resp.text()
+            content = (await resp.json())["choices"][0]["logprobs"]["content"]
+            assert len(content) >= 1
+            for entry in content:
+                assert len(entry["top_logprobs"]) == 2
+                lps = [t["logprob"] for t in entry["top_logprobs"]]
+                assert lps == sorted(lps, reverse=True)
+
+        loop.run_until_complete(go())
