@@ -107,53 +107,87 @@ class CacheEngine:
         return self.num_device_blocks * self.block_size
 
     # ------------------------------------------------------------------ swaps
+    @staticmethod
+    def _bucket_ids(ids: List[int]) -> np.ndarray:
+        """Pad an id list to the next power of two (repeating the first id)
+        so the jitted gather/scatter hits a small set of compiled shapes.
+        Duplicate ids are safe: gathers read repeats, scatters rewrite the
+        same block with identical data."""
+        n = 1
+        while n < len(ids):
+            n *= 2
+        out = np.full((n,), ids[0], dtype=np.int32)
+        out[: len(ids)] = ids
+        return out
+
     def swap_out(self, mapping: List[Tuple[int, int]]) -> None:
         """Device→host block copies (ref: worker.rs:600-614).
 
         ``mapping`` is (device_block, host_block) pairs from the scheduler.
+        All layers' gathers are DISPATCHED first (they queue on the device
+        and overlap), then fetched; host rows land with one vectorized
+        assignment per layer — no per-layer sync, no per-block python loop
+        (SURVEY.md §7 hard part #6: overlap swap with decode).
         """
         if not mapping or self.host_cache is None:
             return
-        dev_ids = [src for src, _ in mapping]
+        n = len(mapping)
+        dev_ids = jnp.asarray(self._bucket_ids([src for src, _ in mapping]))
+        dst_ids = np.asarray([dst for _, dst in mapping], dtype=np.int64)
+        gathered = [
+            gather_blocks_layer_jit(self.kv_cache[layer], dev_ids)
+            for layer in range(self.num_layers)
+        ]
+        sgathered = (
+            [
+                gather_blocks_layer_jit(self.kv_scales[layer], dev_ids)
+                for layer in range(self.num_layers)
+            ]
+            if self.kv_scales is not None
+            else None
+        )
         for layer in range(self.num_layers):
-            data = np.asarray(
-                gather_blocks_layer_jit(self.kv_cache[layer], dev_ids)
-            )
-            for i, (_, dst) in enumerate(mapping):
-                self.host_cache[layer, dst] = data[i]
-            if self.kv_scales is not None:
-                sdata = np.asarray(
-                    gather_blocks_layer_jit(self.kv_scales[layer], dev_ids)
-                )
-                for i, (_, dst) in enumerate(mapping):
-                    self.host_scales[layer, dst] = sdata[i]
+            self.host_cache[layer, dst_ids] = np.asarray(gathered[layer])[:n]
+            if sgathered is not None:
+                self.host_scales[layer, dst_ids] = np.asarray(
+                    sgathered[layer]
+                )[:n]
 
     def swap_in(self, mapping: List[Tuple[int, int]]) -> None:
         """Host→device block copies (ref: worker.rs:616-630).
 
-        ``mapping`` is (host_block, device_block) pairs.
+        ``mapping`` is (host_block, device_block) pairs. Host rows are read
+        with one fancy-index per layer; all device scatters are dispatched
+        asynchronously (donated buffers update in place) so the transfers
+        pipeline instead of serializing per layer.
         """
         if not mapping or self.host_cache is None:
             return
-        src_ids = [src for src, _ in mapping]
-        dev_ids = [dst for _, dst in mapping]
+        src_ids = np.asarray([src for src, _ in mapping], dtype=np.int64)
+        dev_ids_b = self._bucket_ids([dst for _, dst in mapping])
+        pad = len(dev_ids_b) - len(mapping)
+        dev_ids = jnp.asarray(dev_ids_b)
         new_cache = []
         new_scales = []
         for layer in range(self.num_layers):
-            data = jnp.asarray(
-                np.stack([self.host_cache[layer, s] for s in src_ids]),
-                dtype=self.dtype,
-            )
+            data_np = self.host_cache[layer, src_ids]
+            if pad:
+                data_np = np.concatenate(
+                    [data_np, np.repeat(data_np[:1], pad, axis=0)]
+                )
+            data = jnp.asarray(data_np, dtype=self.dtype)
             new_cache.append(
                 scatter_blocks_layer_jit(self.kv_cache[layer], dev_ids, data)
             )
             if self.host_scales is not None:
-                sdata = jnp.asarray(
-                    np.stack([self.host_scales[layer, s] for s in src_ids])
-                )
+                sdata_np = self.host_scales[layer, src_ids]
+                if pad:
+                    sdata_np = np.concatenate(
+                        [sdata_np, np.repeat(sdata_np[:1], pad, axis=0)]
+                    )
                 new_scales.append(
                     scatter_blocks_layer_jit(
-                        self.kv_scales[layer], dev_ids, sdata
+                        self.kv_scales[layer], dev_ids, jnp.asarray(sdata_np)
                     )
                 )
         self.kv_cache = tuple(new_cache)

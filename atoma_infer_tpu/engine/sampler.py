@@ -178,7 +178,12 @@ def sample(
     repetition_penalty: jnp.ndarray,
     frequency_penalty: jnp.ndarray,
     recent_tokens: jnp.ndarray,
-    step: jnp.ndarray,          # [] i32 — decode step counter for fold_in
+    step: jnp.ndarray,          # [S] i32 — per-sequence generated-token count.
+                                # Folding the SEQUENCE's position (not a global
+                                # engine step) into the PRNG makes sampling
+                                # replay-stable across preemption/swap: the
+                                # same request draws the same stream no matter
+                                # how it was scheduled.
     needs_sampling: bool,       # static: compile the stochastic path?
     needs_penalties: bool,      # static: compile the penalty path?
     typical_p: Optional[jnp.ndarray] = None,
@@ -206,14 +211,18 @@ def sample(
         if needs_typical and typical_p is not None:
             scaled = _typical_p_mask(scaled, typical_p)
 
-        def per_seq_gumbel(seed):
+        step_arr = jnp.broadcast_to(
+            jnp.asarray(step, jnp.int32), seeds.shape
+        )
+
+        def per_seq_gumbel(seed, st):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(0), seed.astype(jnp.uint32)
             )
-            key = jax.random.fold_in(key, step.astype(jnp.uint32))
+            key = jax.random.fold_in(key, st.astype(jnp.uint32))
             return jax.random.gumbel(key, (logits.shape[-1],), jnp.float32)
 
-        gumbel = jax.vmap(per_seq_gumbel)(seeds)
+        gumbel = jax.vmap(per_seq_gumbel)(seeds, step_arr)
         sampled = jnp.argmax(scaled + gumbel, axis=-1).astype(jnp.int32)
         chosen = jnp.where(do_sample, sampled, greedy)
 

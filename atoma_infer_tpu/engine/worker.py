@@ -146,6 +146,8 @@ class ModelWorker:
         params_list = []
         recent = []
         top_n_list = []
+        sample_steps = np.zeros(S, dtype=np.int32)
+        i = 0
         for meta in request.sequence_groups_metadata:
             for idx, (seq_id, seq_data) in enumerate(meta.seq_data.items()):
                 p = meta.next_token_chooser_params
@@ -155,6 +157,10 @@ class ModelWorker:
                 params_list.append(p)
                 recent.append(seq_data.get_token_ids()[-PENALTY_WINDOW:])
                 top_n_list.append(meta.top_n_tokens)
+                # PRNG fold value: the sequence's own position, so sampling
+                # replays identically across preemption/swap reschedules.
+                sample_steps[i] = seq_data.get_output_len()
+                i += 1
         sampling = SamplingTensors.build(params_list, recent, S, top_n_list)
 
         sampling_arrays = {
@@ -180,7 +186,7 @@ class ModelWorker:
             model_input.attention_metadata(self.cache_config.block_size),
             jnp.asarray(model_input.selected_token_indices),
             sampling_arrays,
-            jnp.asarray(self._step_counter, dtype=jnp.int32),
+            jnp.asarray(sample_steps),
             needs_sampling=sampling.needs_sampling,
             needs_penalties=sampling.needs_penalties,
             needs_typical=sampling.needs_typical,

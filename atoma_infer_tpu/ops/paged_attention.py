@@ -53,6 +53,7 @@ from .attention import AttentionMetadata
 
 NEG_INF = -2.0e30
 WB_SUB = 16  # write-back window rows (bf16 sublane tile)
+RING_BUFFERS = 4  # chunk-buffer ring depth (cross-entry prefetch)
 
 
 def _pick_block_q(num_tokens: int, num_seq_slots: int) -> int:
@@ -109,15 +110,17 @@ def _kernel(
     kv_hbm_in,        # [num_pages, bs, 2*Hk*D] (aliased to kv_hbm)
     o_hbm,            # [W, G*BQ, Hk*D]
     kv_hbm,           # cache output (aliased; head-interleaved K|V rows)
-    # scratch (outer dim 2 = entry parity for cross-entry prefetch)
-    q_vmem,           # [2, G*BQ, Hk*D]
-    kv_vmem,          # [2, 2, CP, bs, 2*Hk*D]
+    # scratch — a flat ring of NB chunk buffers. multi-chunk mode maps
+    # (entry parity, chunk parity) onto it; single-chunk mode rotates
+    # entries through all NB slots for deep cross-entry prefetch.
+    q_vmem,           # [NB, G*BQ, Hk*D]
+    kv_vmem,          # [NB, CP, bs, 2*Hk*D]
     o_vmem,           # [G*BQ, Hk*D]
-    wb_flag,          # SMEM [4] — write-back DMA in flight per (parity, buf)
-    q_sems,           # DMA sems [2]
-    kv_sems,          # DMA sems [2, 2]
+    wb_flag,          # SMEM [NB] — write-back DMA in flight per slot
+    q_sems,           # DMA sems [NB]
+    kv_sems,          # DMA sems [NB]
     o_sem,
-    wb_sems,          # DMA sems [2, 2]
+    wb_sems,          # DMA sems [NB]
     *,
     scale: float,
     num_q_heads: int,
@@ -129,15 +132,16 @@ def _kernel(
     sliding_window: Optional[int],
     soft_cap: Optional[float],
     fuse_write: bool,
+    single_chunk: bool,
 ):
     e = pl.program_id(0)
     W = pl.num_programs(0)
-    par = e % 2
     s = entry_seq_ref[e]
     active = s >= 0
     s = jnp.maximum(s, 0)
     b = entry_qb_ref[e]
 
+    NB = RING_BUFFERS
     BQ = block_q
     CP = pages_per_chunk
     bs = block_size
@@ -152,214 +156,232 @@ def _kernel(
     q_len = qsl_ref[s + 1] - q_start
     kv_len = seq_lens_ref[s]
 
-    def maybe_wait_wb(parity, buf):
+    def kv_slot(eidx, j):
+        """Ring slot of (entry, chunk). Single-chunk: entries rotate through
+        all NB slots (chunk j is always 0). Multi-chunk: 2 slots per entry
+        parity, double-buffered over chunks."""
+        if single_chunk:
+            return eidx % NB
+        return 2 * (eidx % 2) + j % 2
+
+    def q_slot(eidx):
+        return eidx % (NB if single_chunk else 2)
+
+    def maybe_wait_wb(slot):
         """Drain a pending write-back DMA before its source buffer is
         overwritten by a new chunk load."""
         if not fuse_write:
             return
 
-        @pl.when(wb_flag[2 * parity + buf] == 1)
+        @pl.when(wb_flag[slot] == 1)
         def _():
             # Wait sized to the window's byte count (dst ref shape).
             pltpu.make_async_copy(
-                kv_vmem.at[parity, buf, 0, pl.ds(0, WB_SUB)],
+                kv_vmem.at[slot, 0, pl.ds(0, WB_SUB)],
                 kv_hbm.at[0, pl.ds(0, WB_SUB)],
-                wb_sems.at[parity, buf],
+                wb_sems.at[slot],
             ).wait()
-            wb_flag[2 * parity + buf] = 0
+            wb_flag[slot] = 0
 
-    def page_dma(seq, parity, buf, chunk, p):
-        idx = jnp.minimum(chunk * CP + p, num_pages - 1)
-        page = jnp.clip(block_tables_ref[seq, idx], 0, max_page)
-        return pltpu.make_async_copy(
-            kv_hbm.at[page],
-            kv_vmem.at[parity, buf, p],
-            kv_sems.at[parity, buf],
-        )
-
-    def start_chunk(seq, parity, buf, chunk):
-        maybe_wait_wb(parity, buf)
+    def start_chunk(seq, slot, chunk):
+        maybe_wait_wb(slot)
         for p in range(CP):
-            page_dma(seq, parity, buf, chunk, p).start()
+            idx = jnp.minimum(chunk * CP + p, num_pages - 1)
+            page = jnp.clip(block_tables_ref[seq, idx], 0, max_page)
+            pltpu.make_async_copy(
+                kv_hbm.at[page],
+                kv_vmem.at[slot, p],
+                kv_sems.at[slot],
+            ).start()
 
-    def wait_chunk(parity, buf):
+    def wait_chunk(slot):
         # All CP page copies signal the same semaphore; one wait sized to the
         # whole chunk buffer (DMA waits count destination bytes) replaces CP
         # per-descriptor waits.
         pltpu.make_async_copy(
             kv_hbm.at[pl.ds(0, CP)],
-            kv_vmem.at[parity, buf],
-            kv_sems.at[parity, buf],
+            kv_vmem.at[slot],
+            kv_sems.at[slot],
         ).wait()
 
-    def q_dma(eidx, parity):
+    def q_dma(eidx, slot):
         return pltpu.make_async_copy(
-            q_hbm.at[eidx], q_vmem.at[parity], q_sems.at[parity]
+            q_hbm.at[eidx], q_vmem.at[slot], q_sems.at[slot]
         )
+
+    def issue_entry(eidx):
+        """Start entry eidx's q + first-chunk DMAs (if it is active)."""
+        eidx_c = jnp.minimum(eidx, W - 1)
+        s_i = entry_seq_ref[eidx_c]
+
+        @pl.when((eidx < W) & (s_i >= 0))
+        def _():
+            q_dma(eidx_c, q_slot(eidx_c)).start()
+            start_chunk(jnp.maximum(s_i, 0), kv_slot(eidx_c, 0), 0)
+
+    def patch_and_writeback(slot, j):
+        """Fused KV write: patch this entry's newly written row (position
+        kv_len−1, decode ⇒ q_len==1) into the loaded chunk and DMA the
+        patched 16-row window back to its HBM page."""
+        w_pos = kv_len - 1
+        j_w = w_pos // CHUNK
+
+        @pl.when((j == j_w) & (q_len == 1))
+        def _():
+            r_w = w_pos - j_w * CHUNK      # chunk-local row
+            p_idx = r_w // bs              # page slot in chunk
+            pr = r_w % bs                  # row within page
+            base = pl.multiple_of((pr // WB_SUB) * WB_SUB, WB_SUB)
+            # Staged new row: aligned-window read + mask-select
+            # (Mosaic cannot address a single dynamic VMEM row).
+            tb = pl.multiple_of((q_start // WB_SUB) * WB_SUB, WB_SUB)
+            winq = kvn_ref[pl.ds(tb, WB_SUB), :]
+            rid = jax.lax.broadcasted_iota(jnp.int32, (WB_SUB, 1), 0)
+            new_row = jnp.sum(
+                jnp.where(
+                    rid == q_start - tb, winq.astype(jnp.float32), 0.0
+                ),
+                axis=0,
+            )  # [2·Hk·D]
+            win = kv_vmem[slot, p_idx, pl.ds(base, WB_SUB), :]
+            patched = jnp.where(
+                rid == pr - base, new_row[None, :].astype(win.dtype), win
+            )
+            kv_vmem[slot, p_idx, pl.ds(base, WB_SUB), :] = patched
+            page_w = jnp.clip(
+                block_tables_ref[s, j_w * CP + p_idx], 0, max_page
+            )
+            pltpu.make_async_copy(
+                kv_vmem.at[slot, p_idx, pl.ds(base, WB_SUB)],
+                kv_hbm.at[page_w, pl.ds(base, WB_SUB)],
+                wb_sems.at[slot],
+            ).start()
+            wb_flag[slot] = 1
+
+    # Absolute key position each query row may attend up to; row r of a
+    # group is query i = r % BQ (rows are g-major: g·BQ + i).
+    row_query = jax.lax.broadcasted_iota(jnp.int32, (GBQ, 1), 0) % BQ
+    pos = kv_len - q_len + b * BQ + row_query  # [G·BQ, 1]
+
+    def attend_chunk(q_all, slot, j, carry):
+        """Online-softmax update of (m, l, acc) per kv head over one chunk."""
+        kv_all = kv_vmem[slot].reshape(CHUNK, 2 * Hk * D)
+        col = j * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        mask = (col <= pos) & (col < kv_len)  # [G·BQ, CHUNK]
+        if sliding_window is not None:
+            mask &= col > pos - sliding_window
+
+        new_carry = []
+        for h in range(Hk):
+            # Head-interleaved rows: [K_h | V_h] at lanes [h·2D, (h+1)·2D).
+            kh = kv_all[:, h * 2 * D : h * 2 * D + D]  # [CHUNK, D]
+            vh = kv_all[:, h * 2 * D + D : (h + 1) * 2 * D]
+            m, l, acc = carry[h]
+            sc = (
+                jax.lax.dot_general(
+                    q_all[:, h * D : (h + 1) * D],
+                    kh,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )  # [G·BQ, CHUNK]
+            if soft_cap is not None:
+                sc = soft_cap * jnp.tanh(sc / soft_cap)
+            sc = jnp.where(mask, sc, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+            p_ = jnp.exp(sc - m_new)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jax.lax.dot_general(
+                p_.astype(vh.dtype),
+                vh,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G·BQ, D]
+            new_carry.append((m_new, l_new, acc_new))
+        return tuple(new_carry)
+
+    def finalize(carry):
+        for h in range(Hk):
+            _, l, acc = carry[h]
+            out_h = acc / jnp.maximum(l, 1e-30)  # [G·BQ, D]
+            o_vmem[:, h * D : (h + 1) * D] = out_h.astype(o_vmem.dtype)
+        o_dma = pltpu.make_async_copy(o_vmem, o_hbm.at[e], o_sem)
+        o_dma.start()
+        o_dma.wait()
+
+    init = tuple(
+        (
+            jnp.full((GBQ, 1), NEG_INF, jnp.float32),
+            jnp.zeros((GBQ, 1), jnp.float32),
+            jnp.zeros((GBQ, D), jnp.float32),
+        )
+        for _ in range(Hk)
+    )
 
     if fuse_write:
 
         @pl.when(e == 0)
         def _():
-            for i in range(4):
+            for i in range(NB):
                 wb_flag[i] = 0
 
-    # Entry 0 starts its own q + first chunk; afterwards every entry's q and
-    # first KV chunk were prefetched by its predecessor, overlapping the
-    # inter-entry pipeline bubble (active entries form a prefix of the grid).
-    @pl.when(active & (e == 0))
-    def _():
-        q_dma(e, par).start()
-        start_chunk(s, par, 0, 0)
-
-    @pl.when(active)
-    def _():
-        nxt = jnp.minimum(e + 1, W - 1)
-        s_n = jnp.maximum(entry_seq_ref[nxt], 0)
-        has_next = (e + 1 < W) & (entry_seq_ref[nxt] >= 0)
-
-        @pl.when(has_next)
+    if single_chunk:
+        # Deep pipeline: NB−1 entries of lookahead keep NB chunk DMAs in
+        # flight — the analog of FA2's multi-stage cp.async pipelining for
+        # the inter-entry (not intra-entry) axis, which is where decode
+        # spends its time (one chunk covers the whole context).
+        @pl.when(e == 0)
         def _():
-            q_dma(nxt, (e + 1) % 2).start()
-            start_chunk(s_n, (e + 1) % 2, 0, 0)
+            for k in range(min(NB, W)):
+                issue_entry(k)
 
-        nc = pl.cdiv(kv_len, CHUNK)
-        q_dma(e, par).wait()
-
-        # Per-kv-head query groups are VALUE lane slices of the prearranged
-        # [G·BQ, Hk·D] window (row g·BQ+i = head h·G+g of query i, lanes
-        # h·D..(h+1)·D) — no staging.
-        q_all = q_vmem[par]
-
-        # Absolute key position each query row may attend up to; row r of a
-        # group is query i = r % BQ.
-        row_query = jax.lax.broadcasted_iota(jnp.int32, (GBQ, 1), 0) % BQ
-        pos = kv_len - q_len + b * BQ + row_query  # [G·BQ, 1]
-
-        def chunk_body(j, carry):
-            buf = j % 2
-
-            @pl.when(j + 1 < nc)
-            def _():
-                start_chunk(s, par, (j + 1) % 2, j + 1)
-
-            wait_chunk(par, buf)
-
+        @pl.when(active)
+        def _():
+            issue_entry(e + NB - 1)
+            slot = kv_slot(e, 0)
+            q_dma(e, q_slot(e)).wait()
+            q_all = q_vmem[q_slot(e)]
+            wait_chunk(slot)
             if fuse_write:
-                # Patch this entry's newly written KV row (position
-                # kv_len−1, decode ⇒ q_len==1) into the loaded chunk, and
-                # write the patched 16-row window back to its HBM page.
-                w_pos = kv_len - 1
-                j_w = w_pos // CHUNK
+                patch_and_writeback(slot, 0)
+            finalize(attend_chunk(q_all, slot, 0, init))
+    else:
 
-                @pl.when((j == j_w) & (q_len == 1))
+        @pl.when(active & (e == 0))
+        def _():
+            issue_entry(e)
+
+        @pl.when(active)
+        def _():
+            issue_entry(e + 1)
+            nc = pl.cdiv(kv_len, CHUNK)
+            q_dma(e, q_slot(e)).wait()
+            # Per-kv-head query groups are VALUE lane slices of the
+            # prearranged [G·BQ, Hk·D] window — no staging.
+            q_all = q_vmem[q_slot(e)]
+
+            def chunk_body(j, carry):
+                @pl.when(j + 1 < nc)
                 def _():
-                    r_w = w_pos - j_w * CHUNK      # chunk-local row
-                    p_idx = r_w // bs              # page slot in chunk
-                    pr = r_w % bs                  # row within page
-                    base = pl.multiple_of((pr // WB_SUB) * WB_SUB, WB_SUB)
-                    # Staged new row: aligned-window read + mask-select
-                    # (Mosaic cannot address a single dynamic VMEM row).
-                    tb = pl.multiple_of(
-                        (q_start // WB_SUB) * WB_SUB, WB_SUB
-                    )
-                    winq = kvn_ref[pl.ds(tb, WB_SUB), :]
-                    rid = jax.lax.broadcasted_iota(
-                        jnp.int32, (WB_SUB, 1), 0
-                    )
-                    new_row = jnp.sum(
-                        jnp.where(
-                            rid == q_start - tb,
-                            winq.astype(jnp.float32),
-                            0.0,
-                        ),
-                        axis=0,
-                    )  # [2·Hk·D]
-                    win = kv_vmem[par, buf, p_idx, pl.ds(base, WB_SUB), :]
-                    patched = jnp.where(
-                        rid == pr - base,
-                        new_row[None, :].astype(win.dtype),
-                        win,
-                    )
-                    kv_vmem[par, buf, p_idx, pl.ds(base, WB_SUB), :] = patched
-                    page_w = jnp.clip(
-                        block_tables_ref[s, j_w * CP + p_idx], 0, max_page
-                    )
-                    wb = pltpu.make_async_copy(
-                        kv_vmem.at[par, buf, p_idx, pl.ds(base, WB_SUB)],
-                        kv_hbm.at[page_w, pl.ds(base, WB_SUB)],
-                        wb_sems.at[par, buf],
-                    )
-                    wb.start()
-                    wb_flag[2 * par + buf] = 1
+                    start_chunk(s, kv_slot(e, j + 1), j + 1)
 
-            kv_all = kv_vmem[par, buf].reshape(CHUNK, 2 * Hk * D)
+                slot = kv_slot(e, j)
+                wait_chunk(slot)
+                if fuse_write:
+                    patch_and_writeback(slot, j)
+                return attend_chunk(q_all, slot, j, carry)
 
-            col = j * CHUNK + jax.lax.broadcasted_iota(
-                jnp.int32, (1, CHUNK), 1
-            )
-            mask = (col <= pos) & (col < kv_len)  # [G·BQ, CHUNK]
-            if sliding_window is not None:
-                mask &= col > pos - sliding_window
-
-            new_carry = []
-            for h in range(Hk):
-                # Head-interleaved rows: [K_h | V_h] at lanes [h·2D, (h+1)·2D).
-                kh = kv_all[:, h * 2 * D : h * 2 * D + D]  # [CHUNK, D]
-                vh = kv_all[:, h * 2 * D + D : (h + 1) * 2 * D]
-                m, l, acc = carry[h]
-                sc = (
-                    jax.lax.dot_general(
-                        q_all[:, h * D : (h + 1) * D],
-                        kh,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    * scale
-                )  # [G·BQ, CHUNK]
-                if soft_cap is not None:
-                    sc = soft_cap * jnp.tanh(sc / soft_cap)
-                sc = jnp.where(mask, sc, NEG_INF)
-                m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
-                p_ = jnp.exp(sc - m_new)
-                alpha = jnp.exp(m - m_new)
-                l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
-                acc_new = acc * alpha + jax.lax.dot_general(
-                    p_.astype(vh.dtype),
-                    vh,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [G·BQ, D]
-                new_carry.append((m_new, l_new, acc_new))
-            return tuple(new_carry)
-
-        init = tuple(
-            (
-                jnp.full((GBQ, 1), NEG_INF, jnp.float32),
-                jnp.zeros((GBQ, 1), jnp.float32),
-                jnp.zeros((GBQ, D), jnp.float32),
-            )
-            for _ in range(Hk)
-        )
-        carry = jax.lax.fori_loop(0, nc, chunk_body, init)
-
-        for h in range(Hk):
-            _, l, acc = carry[h]
-            out_h = acc / jnp.maximum(l, 1e-30)  # [G·BQ, D]
-            o_vmem[:, h * D : (h + 1) * D] = out_h.astype(o_vmem.dtype)
-
-        o_dma = pltpu.make_async_copy(o_vmem, o_hbm.at[e], o_sem)
-        o_dma.start()
-        o_dma.wait()
+            finalize(jax.lax.fori_loop(0, nc, chunk_body, init))
 
     if fuse_write:
         # Drain outstanding write-backs before the kernel exits (runs even
         # when the final entries are inactive padding).
         @pl.when(e == W - 1)
         def _():
-            for parity in range(2):
-                for buf in range(2):
-                    maybe_wait_wb(parity, buf)
+            for slot in range(NB):
+                maybe_wait_wb(slot)
 
 
 def _entries_to_gmajor(q_entries, W, BQ, Hk, G, D):
@@ -407,6 +429,18 @@ def _paged_attention_call(
     chunk_rows = 512 if BQ <= 16 else 256
     CP = pages_per_chunk or max(1, chunk_rows // bs)
     CP = min(CP, P)
+    # Single-chunk mode: when the whole (bucketed) block table fits one
+    # chunk within the VMEM ring budget, each entry is exactly one chunk and
+    # the ring prefetches RING_BUFFERS−1 entries ahead — decode is
+    # inter-entry-latency-bound, not intra-entry.
+    itemsize = jnp.dtype(kv_cache.dtype).itemsize
+    single_chunk = (
+        pages_per_chunk is None
+        and BQ <= 16
+        and RING_BUFFERS * P * bs * row * itemsize <= 8 * 1024 * 1024
+    )
+    if single_chunk:
+        CP = P
     W = T // BQ + S  # worst-case (seq, q_block) entries
 
     fuse_write = kvn is not None
@@ -446,14 +480,14 @@ def _paged_attention_call(
             pl.BlockSpec(memory_space=pl.ANY),      # cache (aliased)
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, G * BQ, Hk * D), q.dtype),
-            pltpu.VMEM((2, 2, CP, bs, row), kv_cache.dtype),
+            pltpu.VMEM((RING_BUFFERS, G * BQ, Hk * D), q.dtype),
+            pltpu.VMEM((RING_BUFFERS, CP, bs, row), kv_cache.dtype),
             pltpu.VMEM((G * BQ, Hk * D), q.dtype),
-            pltpu.SMEM((4,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SMEM((RING_BUFFERS,), jnp.int32),
+            pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
+            pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
             pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
         ],
     )
 
@@ -469,6 +503,7 @@ def _paged_attention_call(
         sliding_window=sliding_window,
         soft_cap=soft_cap,
         fuse_write=fuse_write,
+        single_chunk=single_chunk,
     )
 
     out_gm, new_cache = pl.pallas_call(

@@ -341,3 +341,81 @@ class TestBestOf:
         r = run(scenario())
         # 3 candidates generated, 1 returned — the highest-logprob one.
         assert len(r.outputs) == 1
+
+
+class TestSwapPressure:
+    def test_swap_round_trip_outputs_identical(self):
+        """Force preemption-by-swap (best_of groups under a tight block
+        pool) and assert swaps actually happened AND outputs are
+        token-identical to an unpressured run — KV contents must survive
+        the device→host→device round trip, and seeded sampling must replay
+        identically regardless of scheduling (BASELINE #4 stress shape)."""
+
+        def run_with(blocks):
+            async def scenario():
+                service = make_service(
+                    best_of=4,
+                    max_num_batched_tokens=256,
+                    max_num_sequences=8,
+                    max_model_len=256,
+                )
+                bm = service.engine.scheduler.block_manager
+                ce = service.engine.worker.cache_engine
+                # Tighten the pool after startup profiling.
+                if blocks is not None:
+                    from atoma_infer_tpu.core.block_manager import (
+                        BlockSpaceManager,
+                    )
+                    new_bm = BlockSpaceManager(
+                        block_size=16,
+                        num_device_blocks=blocks,
+                        num_host_blocks=64,
+                    )
+                    service.engine.scheduler.block_manager = new_bm
+                swaps = {"out": 0, "in": 0}
+                orig_out, orig_in = ce.swap_out, ce.swap_in
+
+                def spy_out(mapping):
+                    swaps["out"] += len(mapping)
+                    return orig_out(mapping)
+
+                def spy_in(mapping):
+                    swaps["in"] += len(mapping)
+                    return orig_in(mapping)
+
+                ce.swap_out, ce.swap_in = spy_out, spy_in
+
+                task = asyncio.create_task(service.engine.run())
+                futs = []
+                for i in range(4):
+                    fut = await service.handle_request(
+                        GenerateRequest(
+                            request_id=f"swap-{i}",
+                            inputs=f"pressure prompt {i} " * 4,
+                            parameters=GenerateParameters(
+                                max_new_tokens=24,
+                                best_of=2,
+                                do_sample=True,
+                                temperature=0.8,
+                                seed=1234 + i,
+                            ),
+                        )
+                    )
+                    futs.append(fut)
+                results = await asyncio.wait_for(
+                    asyncio.gather(*futs), timeout=180
+                )
+                service.stop()
+                task.cancel()
+                return results, swaps
+
+            return run(scenario())
+
+        base, base_swaps = run_with(None)           # ample pool
+        tight, tight_swaps = run_with(12)           # forces swap preemption
+        assert base_swaps["out"] == 0
+        assert tight_swaps["out"] > 0 and tight_swaps["in"] > 0
+        for rb, rt in zip(base, tight):
+            toks_b = sorted(tuple(o.token_ids) for o in rb.outputs)
+            toks_t = sorted(tuple(o.token_ids) for o in rt.outputs)
+            assert toks_b == toks_t

@@ -25,7 +25,7 @@ def _sample_kwargs(S, tensors, step=0):
         repetition_penalty=jnp.asarray(tensors.repetition_penalty),
         frequency_penalty=jnp.asarray(tensors.frequency_penalty),
         recent_tokens=jnp.asarray(tensors.recent_tokens),
-        step=jnp.asarray(step, jnp.int32),
+        step=jnp.full((S,), step, jnp.int32),
         needs_sampling=tensors.needs_sampling,
         needs_penalties=tensors.needs_penalties,
         needs_typical=tensors.needs_typical,
