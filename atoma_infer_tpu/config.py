@@ -138,8 +138,15 @@ class CacheConfig:
         head_dim: int,
         kv_dtype_size: int,
     ) -> int:
-        """Bytes of one KV block across all layers: K+V (ref: config.rs:708-718)."""
-        return 2 * self.block_size * num_layers * num_kv_heads * head_dim * kv_dtype_size
+        """Bytes of one KV block across all layers: K+V (ref: config.rs:708-718).
+
+        INT8 KV (1-byte kv dtype) additionally carries one bf16 scale page
+        per block per layer ([block_size, 128] — the minimum lane-aligned
+        DMA-able layout, see ops/kv_cache.py SCALE_LANES)."""
+        kv = 2 * self.block_size * num_layers * num_kv_heads * head_dim * kv_dtype_size
+        if kv_dtype_size == 1:
+            kv += self.block_size * 128 * 2 * num_layers
+        return kv
 
     def profile(
         self,

@@ -17,9 +17,11 @@ from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from ..ops.kv_cache import (
+    SCALE_LANES,
     copy_blocks_layer_jit,
     gather_blocks_layer_jit,
     scatter_blocks_layer_jit,
@@ -72,7 +74,9 @@ class CacheEngine:
             )
 
         def scales_array():
-            s = jnp.zeros((num_device_blocks, block_size, 2), jnp.float32)
+            from ..ops.kv_cache import alloc_kv_scales
+
+            s = alloc_kv_scales(num_device_blocks, block_size)
             return (
                 jax.device_put(s, scales_sharding)
                 if scales_sharding is not None
@@ -96,7 +100,8 @@ class CacheEngine:
         ) if num_host_blocks > 0 else None
         self.host_scales = (
             np.zeros(
-                (num_layers, num_host_blocks, block_size, 2), np.float32
+                (num_layers, num_host_blocks, block_size, SCALE_LANES),
+                ml_dtypes.bfloat16,
             )
             if num_host_blocks > 0 and dtype == jnp.int8
             else None

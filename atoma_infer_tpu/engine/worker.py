@@ -72,7 +72,7 @@ class ModelWorker:
         self,
         params,
         kv_cache,
-        kv_scales,              # None | [L, slots, 2] f32 (int8 KV)
+        kv_scales,              # None | L × [pages, bs, 128] bf16 scale pages
         token_ids,
         positions,
         attn_meta,

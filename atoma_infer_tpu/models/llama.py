@@ -176,7 +176,7 @@ class Llama:
         kv_cache,                 # tuple of L × [num_pages, bs, 2·Hk·D]
                                   # page-major, or one stacked [L, ...] array
         attn_meta: AttentionMetadata,
-        kv_scales=None,           # tuple of L × [num_pages, bs, 2] (int8 KV)
+        kv_scales=None,           # tuple of L × [pages, bs, 128] bf16 pages
     ):
         """Returns (hidden [T, H], updated kv_cache) — plus updated
         kv_scales when the cache is INT8-quantized.

@@ -83,26 +83,30 @@ def _use_pallas() -> bool:
 
 def _pallas_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
     """Mosaic DMA lane/sublane alignment constraints: merged head lanes must
-    be 128 multiples and pages 8-row multiples. Tiny test models fall back to
-    the XLA path."""
+    be 128 multiples and pages 8-row multiples (32 for int8 — its sublane
+    tile — so the chunk-merge reshape stays a physical no-op). Tiny test
+    models fall back to the XLA path."""
     T, Hq, D = q.shape
     row = kv_cache.shape[2]
+    min_bs = 32 if kv_cache.dtype == jnp.int8 else 8
     return (
         (Hq * D) % 128 == 0
         and row % 128 == 0
-        and meta.block_size % 8 == 0
+        and meta.block_size % min_bs == 0
         and T % 8 == 0
     )
 
 
 def _fused_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
     """Fused decode write+attend: pure-decode batch, Pallas-compatible
-    shapes, and pages divisible into 16-row write-back windows."""
+    shapes, and pages divisible into write-back windows (16 rows bf16,
+    32 rows int8)."""
+    wb = 32 if kv_cache.dtype == jnp.int8 else 16
     return (
         meta.decode_only
         and _use_pallas()
         and _pallas_supported(q, kv_cache, meta)
-        and meta.block_size % 16 == 0
+        and meta.block_size % wb == 0
     )
 
 
@@ -121,10 +125,10 @@ def ragged_paged_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
-    kv_scales: Optional[jnp.ndarray] = None,  # [pages, bs, 2] f32 (int8 cache)
+    kv_scales: Optional[jnp.ndarray] = None,  # [pages, bs, 128] bf16 pages
 ) -> jnp.ndarray:
     """Unified prefill+decode attention over the paged cache → [T, Hq, D]."""
-    if kv_scales is None and _use_pallas() and _pallas_supported(q, kv_cache, meta):
+    if _use_pallas() and _pallas_supported(q, kv_cache, meta):
         from .paged_attention import ragged_paged_attention_pallas
 
         return ragged_paged_attention_pallas(
@@ -134,15 +138,18 @@ def ragged_paged_attention(
             scale=scale,
             sliding_window=sliding_window,
             soft_cap=soft_cap,
+            kv_scales=kv_scales,
         )
     # XLA fallback: split the page-major rows into logical K/V views (free
     # on CPU; the Pallas path above never materializes this).
-    from .kv_cache import kv_cache_view
+    from .kv_cache import kv_cache_view, scales_flat
 
     D = q.shape[2]
     Hk = kv_cache.shape[2] // (2 * D)
     k_view, v_view = kv_cache_view(kv_cache, Hk, D)
-    num_slots = k_view.shape[0]
+    k_scale = v_scale = None
+    if kv_scales is not None:
+        k_scale, v_scale = scales_flat(kv_scales)
     return reference.ragged_paged_attention_xla(
         q,
         k_view,
@@ -154,10 +161,8 @@ def ragged_paged_attention(
         block_size=meta.block_size,
         sliding_window=sliding_window,
         soft_cap=soft_cap,
-        k_scale=None if kv_scales is None
-        else kv_scales.reshape(num_slots, 2)[:, 0],
-        v_scale=None if kv_scales is None
-        else kv_scales.reshape(num_slots, 2)[:, 1],
+        k_scale=k_scale,
+        v_scale=v_scale,
     )
 
 
@@ -177,7 +182,7 @@ def _meta_specs(meta: AttentionMetadata, spec) -> AttentionMetadata:
 def paged_attention_layer(
     q: jnp.ndarray,         # [T, Hq, D] (rope already applied)
     kv_cache: jnp.ndarray,  # [num_pages, block_size, 2·Hk·D]
-    kv_scales,              # None | [num_pages, block_size, 2] f32 (int8 KV)
+    kv_scales,              # None | [num_pages, bs, 128] bf16 scale pages
     k_new: jnp.ndarray,     # [T, Hk, D] (rope already applied)
     v_new: jnp.ndarray,
     meta: AttentionMetadata,
@@ -230,6 +235,20 @@ def paged_attention_layer(
             )
             return attn, kv_cache, None
         if kv_scales is not None:
+            if _fused_supported(q, kv_cache, meta):
+                from .paged_attention import ragged_paged_attention_fused_quant
+
+                return ragged_paged_attention_fused_quant(
+                    q,
+                    kv_cache,
+                    kv_scales,
+                    k_new,
+                    v_new,
+                    meta,
+                    scale=scale,
+                    sliding_window=sliding_window,
+                    soft_cap=soft_cap,
+                )
             kv_cache, kv_scales = write_kv_cache_quant(
                 kv_cache, kv_scales, k_new, v_new, meta.slot_mapping
             )
@@ -297,6 +316,21 @@ def paged_attention_layer(
     scales_t = kv_quant_scales(k_new, v_new)  # [T, 2]
 
     def inner_q(q, kv_c, sc_c, k_new, v_new, scales_t, meta):
+        if _fused_supported(q, kv_c, meta):
+            from .paged_attention import ragged_paged_attention_fused_quant
+
+            return ragged_paged_attention_fused_quant(
+                q,
+                kv_c,
+                sc_c,
+                k_new,
+                v_new,
+                meta,
+                scale=scale,
+                sliding_window=sliding_window,
+                soft_cap=soft_cap,
+                scales_new=scales_t,
+            )
         kv_c, sc_c = write_kv_cache_quant(
             kv_c, sc_c, k_new, v_new, meta.slot_mapping, scales=scales_t
         )

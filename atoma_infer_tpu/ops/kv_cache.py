@@ -34,6 +34,30 @@ import jax.numpy as jnp
 PAD_SLOT_ID = -1
 _OOB = jnp.iinfo(jnp.int32).max
 
+# INT8-KV dequant scales are stored as "scale pages": [num_pages, block_size,
+# SCALE_LANES] bf16 with the K scale in lane 0, the V scale in lane 1 and the
+# rest zero. One full lane tile per row is the SMALLEST layout Mosaic can DMA
+# (page slices must be lane-aligned to 128 — a [pages, bs, 2] array cannot
+# ride the attention kernel's chunk DMAs; verified on hardware, see
+# CLAUDE.md). bf16 halves the padding cost; its 8-bit mantissa (0.2%
+# rounding) is negligible against int8's quantization noise, and
+# quantization itself uses the bf16-rounded scale so dequant is consistent.
+SCALE_LANES = 128
+SCALE_DTYPE = jnp.bfloat16
+
+
+def alloc_kv_scales(num_pages: int, block_size: int) -> jnp.ndarray:
+    """Zero-initialized scale pages for an int8 KV cache layer."""
+    return jnp.zeros((num_pages, block_size, SCALE_LANES), SCALE_DTYPE)
+
+
+def scales_flat(kv_scales: jnp.ndarray):
+    """Scale pages → (k_scale [slots], v_scale [slots]) f32 views for the
+    XLA fallback/oracle paths."""
+    num_pages, bs, _ = kv_scales.shape
+    flat = kv_scales.reshape(num_pages * bs, SCALE_LANES).astype(jnp.float32)
+    return flat[:, 0], flat[:, 1]
+
 
 def _dropped_pad(indices: jnp.ndarray) -> jnp.ndarray:
     """Map PAD_SLOT_ID to an out-of-bounds index so mode='drop' discards it."""
@@ -93,15 +117,37 @@ def write_kv_cache(
 def kv_quant_scales(k_new: jnp.ndarray, v_new: jnp.ndarray) -> jnp.ndarray:
     """Per-(token, K/V) symmetric absmax INT8 scales over ALL kv heads
     → [T, 2] f32. Computed over the full (unsharded) heads so
-    tensor-parallel shards quantize identically."""
+    tensor-parallel shards quantize identically. Rounded through bf16 —
+    the stored scale-page precision — so quantization and every dequant
+    path (Pallas kernel, XLA fallback, oracle) use the identical scale."""
     kv_new = jnp.stack([k_new, v_new], axis=2).astype(jnp.float32)
     absmax = jnp.max(jnp.abs(kv_new), axis=(1, 3))          # [T, 2]
-    return jnp.maximum(absmax / 127.0, 1e-8)
+    s = jnp.maximum(absmax / 127.0, 1e-8)
+    return s.astype(SCALE_DTYPE).astype(jnp.float32)
+
+
+def quantize_kv_rows(
+    k_new: jnp.ndarray,   # [T, Hk, D] float
+    v_new: jnp.ndarray,
+    scale_t: jnp.ndarray,  # [T, 2] f32 per-(token, K/V) scales
+) -> jnp.ndarray:
+    """Fused int8 rows [T, 2·Hk·D] quantized with an explicit
+    reciprocal-multiply. Every write path (XLA scatter, fused Pallas
+    kernel staging) MUST use this one function: ``x / s`` vs
+    ``x * (1/s)`` differ by 1 ulp, which flips ``round`` at .5
+    boundaries — enough to make two paths' caches diverge by ±1 LSB."""
+    rows_f = kv_rows(k_new, v_new, jnp.float32)            # [T, 2·Hk·D]
+    D = k_new.shape[2]
+    lane = jnp.arange(rows_f.shape[1], dtype=jnp.int32)
+    is_k = (lane // D) % 2 == 0                            # [K_h | V_h]
+    inv = 1.0 / scale_t                                    # [T, 2]
+    inv_row = jnp.where(is_k[None, :], inv[:, 0:1], inv[:, 1:2])
+    return jnp.clip(jnp.round(rows_f * inv_row), -127, 127).astype(jnp.int8)
 
 
 def write_kv_cache_quant(
     kv_cache: jnp.ndarray,   # [num_pages, block_size, 2·Hk·D] int8
-    kv_scales: jnp.ndarray,  # [num_pages, block_size, 2] f32
+    kv_scales: jnp.ndarray,  # [num_pages, block_size, SCALE_LANES] bf16
     k_new: jnp.ndarray,      # [T, Hk, D] float
     v_new: jnp.ndarray,
     slot_mapping: jnp.ndarray,
@@ -110,20 +156,15 @@ def write_kv_cache_quant(
     """INT8 KV write: per-(token, K/V) symmetric absmax quantization
     (BASELINE config #3 — the reference has no KV quantization)."""
     bs = kv_cache.shape[1]
-    T = k_new.shape[0]
-    hk_d = k_new.shape[1] * k_new.shape[2]
-    kv_new = jnp.stack([k_new, v_new], axis=2).astype(
-        jnp.float32
-    )                                                       # [T, Hk, 2, D]
     scale = kv_quant_scales(k_new, v_new) if scales is None else scales
-    q = jnp.clip(
-        jnp.round(kv_new / scale[:, None, :, None]), -127, 127
-    ).astype(jnp.int8)
-    rows = q.reshape(T, 2 * hk_d)
+    rows = quantize_kv_rows(k_new, v_new, scale)
     slots = _dropped_pad(slot_mapping)
     kv_cache = kv_cache.at[slots // bs, slots % bs].set(rows, mode="drop")
+    sc_rows = jnp.pad(
+        scale.astype(kv_scales.dtype), ((0, 0), (0, SCALE_LANES - 2))
+    )
     kv_scales = kv_scales.at[slots // bs, slots % bs].set(
-        scale.astype(kv_scales.dtype), mode="drop"
+        sc_rows, mode="drop"
     )
     return kv_cache, kv_scales
 

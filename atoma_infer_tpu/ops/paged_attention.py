@@ -53,6 +53,8 @@ from .attention import AttentionMetadata
 
 NEG_INF = -2.0e30
 WB_SUB = 16  # write-back window rows (bf16 sublane tile)
+WB_SUB_I8 = 32  # write-back window rows for int8 pages (int8 sublane tile)
+SC_SUB = 16  # scale-page write-back window rows (bf16 sublane tile)
 RING_BUFFERS = 4  # chunk-buffer ring depth (cross-entry prefetch)
 
 
@@ -107,18 +109,23 @@ def _kernel(
     # tensor refs (q/o are entry-major, kv-head-major lanes)
     q_hbm,            # [W, G*BQ, Hk*D]
     kvn_ref,          # [Tp, 2*Hk*D] VMEM — staged new rows (fused write)
+    scn_ref,          # [Tp, 128] bf16 VMEM — staged new-row scale rows
     kv_hbm_in,        # [num_pages, bs, 2*Hk*D] (aliased to kv_hbm)
+    sc_hbm_in,        # [num_pages, bs, 128] bf16 (aliased to sc_hbm; int8 KV)
     o_hbm,            # [W, G*BQ, Hk*D]
     kv_hbm,           # cache output (aliased; head-interleaved K|V rows)
+    sc_hbm,           # scale pages output (aliased; K lane 0, V lane 1)
     # scratch — a flat ring of NB chunk buffers. multi-chunk mode maps
     # (entry parity, chunk parity) onto it; single-chunk mode rotates
     # entries through all NB slots for deep cross-entry prefetch.
     q_vmem,           # [NB, G*BQ, Hk*D]
     kv_vmem,          # [NB, CP, bs, 2*Hk*D]
+    sc_vmem,          # [NB, CP, bs, 128] bf16 — scale pages ride the chunk DMA
     o_vmem,           # [G*BQ, Hk*D]
     wb_flag,          # SMEM [NB] — write-back DMA in flight per slot
     q_sems,           # DMA sems [NB]
     kv_sems,          # DMA sems [NB]
+    sc_sems,          # DMA sems [NB]
     o_sem,
     wb_sems,          # DMA sems [NB]
     *,
@@ -133,6 +140,8 @@ def _kernel(
     soft_cap: Optional[float],
     fuse_write: bool,
     single_chunk: bool,
+    quant: bool,
+    wb_sub: int,
 ):
     e = pl.program_id(0)
     W = pl.num_programs(0)
@@ -177,10 +186,18 @@ def _kernel(
         def _():
             # Wait sized to the window's byte count (dst ref shape).
             pltpu.make_async_copy(
-                kv_vmem.at[slot, 0, pl.ds(0, WB_SUB)],
-                kv_hbm.at[0, pl.ds(0, WB_SUB)],
+                kv_vmem.at[slot, 0, pl.ds(0, wb_sub)],
+                kv_hbm.at[0, pl.ds(0, wb_sub)],
                 wb_sems.at[slot],
             ).wait()
+            if quant:
+                # The int8 fused write also wrote back a scale-page window
+                # on the same semaphore; drain it with a second sized wait.
+                pltpu.make_async_copy(
+                    sc_vmem.at[slot, 0, pl.ds(0, SC_SUB)],
+                    sc_hbm.at[0, pl.ds(0, SC_SUB)],
+                    wb_sems.at[slot],
+                ).wait()
             wb_flag[slot] = 0
 
     def start_chunk(seq, slot, chunk):
@@ -193,6 +210,12 @@ def _kernel(
                 kv_vmem.at[slot, p],
                 kv_sems.at[slot],
             ).start()
+            if quant:
+                pltpu.make_async_copy(
+                    sc_hbm.at[page],
+                    sc_vmem.at[slot, p],
+                    sc_sems.at[slot],
+                ).start()
 
     def wait_chunk(slot):
         # All CP page copies signal the same semaphore; one wait sized to the
@@ -203,6 +226,12 @@ def _kernel(
             kv_vmem.at[slot],
             kv_sems.at[slot],
         ).wait()
+        if quant:
+            pltpu.make_async_copy(
+                sc_hbm.at[pl.ds(0, CP)],
+                sc_vmem.at[slot],
+                sc_sems.at[slot],
+            ).wait()
 
     def q_dma(eidx, slot):
         return pltpu.make_async_copy(
@@ -231,31 +260,63 @@ def _kernel(
             r_w = w_pos - j_w * CHUNK      # chunk-local row
             p_idx = r_w // bs              # page slot in chunk
             pr = r_w % bs                  # row within page
-            base = pl.multiple_of((pr // WB_SUB) * WB_SUB, WB_SUB)
+            base = pl.multiple_of((pr // wb_sub) * wb_sub, wb_sub)
             # Staged new row: aligned-window read + mask-select
             # (Mosaic cannot address a single dynamic VMEM row).
-            tb = pl.multiple_of((q_start // WB_SUB) * WB_SUB, WB_SUB)
-            winq = kvn_ref[pl.ds(tb, WB_SUB), :]
-            rid = jax.lax.broadcasted_iota(jnp.int32, (WB_SUB, 1), 0)
+            tb = pl.multiple_of((q_start // wb_sub) * wb_sub, wb_sub)
+            winq = kvn_ref[pl.ds(tb, wb_sub), :]
+            rid = jax.lax.broadcasted_iota(jnp.int32, (wb_sub, 1), 0)
             new_row = jnp.sum(
                 jnp.where(
                     rid == q_start - tb, winq.astype(jnp.float32), 0.0
                 ),
                 axis=0,
             )  # [2·Hk·D]
-            win = kv_vmem[slot, p_idx, pl.ds(base, WB_SUB), :]
+            win = kv_vmem[slot, p_idx, pl.ds(base, wb_sub), :]
             patched = jnp.where(
                 rid == pr - base, new_row[None, :].astype(win.dtype), win
             )
-            kv_vmem[slot, p_idx, pl.ds(base, WB_SUB), :] = patched
+            kv_vmem[slot, p_idx, pl.ds(base, wb_sub), :] = patched
             page_w = jnp.clip(
                 block_tables_ref[s, j_w * CP + p_idx], 0, max_page
             )
             pltpu.make_async_copy(
-                kv_vmem.at[slot, p_idx, pl.ds(base, WB_SUB)],
-                kv_hbm.at[page_w, pl.ds(base, WB_SUB)],
+                kv_vmem.at[slot, p_idx, pl.ds(base, wb_sub)],
+                kv_hbm.at[page_w, pl.ds(base, wb_sub)],
                 wb_sems.at[slot],
             ).start()
+            if quant:
+                # Patch the new row's scale row (K lane 0, V lane 1) into
+                # the loaded scale page and write its 16-row bf16 window
+                # back too.
+                base_s = pl.multiple_of((pr // SC_SUB) * SC_SUB, SC_SUB)
+                tb_s = pl.multiple_of(
+                    (q_start // SC_SUB) * SC_SUB, SC_SUB
+                )
+                wins = scn_ref[pl.ds(tb_s, SC_SUB), :]
+                rid_s = jax.lax.broadcasted_iota(
+                    jnp.int32, (SC_SUB, 1), 0
+                )
+                new_sc = jnp.sum(
+                    jnp.where(
+                        rid_s == q_start - tb_s,
+                        wins.astype(jnp.float32),
+                        0.0,
+                    ),
+                    axis=0,
+                )  # [128]
+                win_s = sc_vmem[slot, p_idx, pl.ds(base_s, SC_SUB), :]
+                patched_s = jnp.where(
+                    rid_s == pr - base_s,
+                    new_sc[None, :].astype(win_s.dtype),
+                    win_s,
+                )
+                sc_vmem[slot, p_idx, pl.ds(base_s, SC_SUB), :] = patched_s
+                pltpu.make_async_copy(
+                    sc_vmem.at[slot, p_idx, pl.ds(base_s, SC_SUB)],
+                    sc_hbm.at[page_w, pl.ds(base_s, SC_SUB)],
+                    wb_sems.at[slot],
+                ).start()
             wb_flag[slot] = 1
 
     # Absolute key position each query row may attend up to; row r of a
@@ -271,11 +332,31 @@ def _kernel(
         if sliding_window is not None:
             mask &= col > pos - sliding_window
 
+        if quant:
+            # Per-row K/V dequant scale columns [CHUNK, 1] from the scale
+            # pages (K lane 0, V lane 1 of each 128-lane row). Lane-masked
+            # reductions instead of size-1 lane slices (Mosaic rejects
+            # unaligned lane slicing).
+            scv = sc_vmem[slot].reshape(CHUNK, 128).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+            k_col = jnp.sum(
+                jnp.where(lane == 0, scv, 0.0), axis=1, keepdims=True
+            )
+            v_col = jnp.sum(
+                jnp.where(lane == 1, scv, 0.0), axis=1, keepdims=True
+            )
+
         new_carry = []
         for h in range(Hk):
             # Head-interleaved rows: [K_h | V_h] at lanes [h·2D, (h+1)·2D).
             kh = kv_all[:, h * 2 * D : h * 2 * D + D]  # [CHUNK, D]
             vh = kv_all[:, h * 2 * D + D : (h + 1) * 2 * D]
+            if quant:
+                # VPU dequant: int8 → f32 × per-row scale → q dtype for the
+                # MXU. Scales are shared across heads, so the column
+                # broadcasts over the head's D lanes.
+                kh = (kh.astype(jnp.float32) * k_col).astype(q_all.dtype)
+                vh = (vh.astype(jnp.float32) * v_col).astype(q_all.dtype)
             m, l, acc = carry[h]
             sc = (
                 jax.lax.dot_general(
@@ -332,9 +413,14 @@ def _kernel(
         # flight — the analog of FA2's multi-stage cp.async pipelining for
         # the inter-entry (not intra-entry) axis, which is where decode
         # spends its time (one chunk covers the whole context).
+        # Prologue issues entries 0..NB−2 only; each entry e then issues
+        # e+NB−1, so entry NB−1 is issued exactly once (by e=0). Issuing it
+        # in the prologue too would double-start its DMAs and over-signal
+        # the slot semaphores (hardware FailedPrecondition; interpret mode
+        # does not model semaphore counts and cannot catch it).
         @pl.when(e == 0)
         def _():
-            for k in range(min(NB, W)):
+            for k in range(min(NB - 1, W)):
                 issue_entry(k)
 
         @pl.when(active)
@@ -415,6 +501,8 @@ def _paged_attention_call(
     block_q: Optional[int],
     pages_per_chunk: Optional[int],
     interpret: bool,
+    kv_scales: Optional[jnp.ndarray] = None,  # [pages, bs, 128] bf16 pages
+    scn: Optional[jnp.ndarray] = None,        # [T, 128] staged scale rows
 ):
     T, Hq, D = q.shape
     num_pages_total, bs_cache, row = kv_cache.shape
@@ -423,6 +511,8 @@ def _paged_attention_call(
     S = meta.seq_lens.shape[0]
     P = meta.block_tables.shape[1]
     bs = meta.block_size
+    quant = kv_scales is not None
+    wbs = WB_SUB_I8 if kv_cache.dtype == jnp.int8 else WB_SUB
     BQ = block_q or _pick_block_q(T, S)
     # Narrow (decode) blocks leave scratch headroom for 512-row chunks; wide
     # prefill blocks halve the chunk to stay under the 16MB scoped-VMEM cap.
@@ -434,22 +524,38 @@ def _paged_attention_call(
     # the ring prefetches RING_BUFFERS−1 entries ahead — decode is
     # inter-entry-latency-bound, not intra-entry.
     itemsize = jnp.dtype(kv_cache.dtype).itemsize
+    chunk_bytes = P * bs * row * itemsize
+    if quant:
+        # One bf16 lane tile of scale page per cache page rides along.
+        chunk_bytes += P * bs * 128 * 2
     single_chunk = (
         pages_per_chunk is None
         and BQ <= 16
-        and RING_BUFFERS * P * bs * row * itemsize <= 8 * 1024 * 1024
+        and RING_BUFFERS * chunk_bytes <= 8 * 1024 * 1024
     )
     if single_chunk:
         CP = P
     W = T // BQ + S  # worst-case (seq, q_block) entries
 
     fuse_write = kvn is not None
+    assert not (fuse_write and quant and scn is None)
     if fuse_write:
-        pad = (-kvn.shape[0]) % WB_SUB
+        pad = (-kvn.shape[0]) % wbs
         if pad:
             kvn = jnp.pad(kvn, ((0, pad), (0, 0)))
     else:
-        kvn = jnp.zeros((WB_SUB, row), kv_cache.dtype)
+        kvn = jnp.zeros((wbs, row), kv_cache.dtype)
+    if quant and scn is not None:
+        pad_s = (-scn.shape[0]) % SC_SUB
+        if pad_s:
+            scn = jnp.pad(scn, ((0, pad_s), (0, 0)))
+    else:
+        scn = jnp.zeros((SC_SUB, 128), jnp.bfloat16)
+    sc_in = (
+        kv_scales
+        if quant
+        else jnp.zeros((1, bs_cache, 128), jnp.bfloat16)
+    )
 
     qsl = meta.query_start_loc
     entry_seq, entry_qb, offs = build_work_list(
@@ -473,17 +579,25 @@ def _paged_attention_call(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # q entries
             pl.BlockSpec(memory_space=pltpu.VMEM),  # staged new rows
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # staged new-row scales
             pl.BlockSpec(memory_space=pl.ANY),      # fused kv cache
+            pl.BlockSpec(memory_space=pl.ANY),      # kv scale pages
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),      # o entries
             pl.BlockSpec(memory_space=pl.ANY),      # cache (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),      # scales (aliased)
         ),
         scratch_shapes=[
             pltpu.VMEM((RING_BUFFERS, G * BQ, Hk * D), q.dtype),
             pltpu.VMEM((RING_BUFFERS, CP, bs, row), kv_cache.dtype),
+            pltpu.VMEM(
+                (RING_BUFFERS, CP, bs, 128) if quant else (1, 1, SC_SUB, 128),
+                jnp.bfloat16,
+            ),
             pltpu.VMEM((G * BQ, Hk * D), q.dtype),
             pltpu.SMEM((RING_BUFFERS,), jnp.int32),
+            pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
             pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
             pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
             pltpu.SemaphoreType.DMA(()),
@@ -504,18 +618,22 @@ def _paged_attention_call(
         soft_cap=soft_cap,
         fuse_write=fuse_write,
         single_chunk=single_chunk,
+        quant=quant,
+        wb_sub=wbs,
     )
 
-    out_gm, new_cache = pl.pallas_call(
+    out_gm, new_cache, new_scales = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((W, G * BQ, Hk * D), q.dtype),
             jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+            jax.ShapeDtypeStruct(sc_in.shape, sc_in.dtype),
         ),
-        # Alias the cache through (operand index counts the 5 scalar-prefetch
-        # args) so fused write-backs land in the caller's buffer.
-        input_output_aliases={7: 1},
+        # Alias cache + scales through (operand index counts the 5
+        # scalar-prefetch args) so fused write-backs land in the caller's
+        # buffers.
+        input_output_aliases={8: 1, 9: 2},
         # Must be "arbitrary": the cross-entry prefetch chain (entry e starts
         # entry e+1's DMAs) assumes sequential grid execution. A "parallel"
         # split across megacore TensorCores (v4/v5p) would leave the second
@@ -533,7 +651,9 @@ def _paged_attention_call(
         qsl,
         q_entries,
         kvn,
+        scn,
         kv_cache,
+        sc_in,
     )
     out_entries = _gmajor_to_entries(out_gm, W, BQ, Hk, G, D)
 
@@ -545,7 +665,7 @@ def _paged_attention_call(
     qoff = t - qsl[s_t]
     ent = jnp.clip(offs[s_t] + qoff // BQ, 0, W - 1)
     out = out_entries[ent, qoff % BQ].reshape(T, Hq, D)
-    return out, new_cache
+    return out, new_cache, new_scales
 
 
 def ragged_paged_attention_pallas(
@@ -559,10 +679,13 @@ def ragged_paged_attention_pallas(
     block_q: Optional[int] = None,
     pages_per_chunk: Optional[int] = None,
     interpret: bool = False,
+    kv_scales: Optional[jnp.ndarray] = None,  # [pages, bs, 128] bf16 pages
 ) -> jnp.ndarray:
     """Unified prefill+decode paged attention on TPU (cache already contains
-    this step's K/V). Returns [T, Hq, D]."""
-    out, _ = _paged_attention_call(
+    this step's K/V). With ``kv_scales`` the cache is int8 and rows are
+    dequantized on the VPU before the MXU matmuls (scale pages ride the same
+    per-page chunk DMAs). Returns [T, Hq, D]."""
+    out, _, _ = _paged_attention_call(
         q,
         kv_cache,
         meta,
@@ -573,6 +696,7 @@ def ragged_paged_attention_pallas(
         block_q=block_q,
         pages_per_chunk=pages_per_chunk,
         interpret=interpret,
+        kv_scales=kv_scales,
     )
     return out
 
@@ -598,6 +722,50 @@ def ragged_paged_attention_fused(
 
     assert meta.block_size % WB_SUB == 0
     kvn = kv_rows(k_new, v_new, kv_cache.dtype)
+    out, new_cache, _ = _paged_attention_call(
+        q,
+        kv_cache,
+        meta,
+        kvn,
+        scale=scale,
+        sliding_window=sliding_window,
+        soft_cap=soft_cap,
+        block_q=None,
+        pages_per_chunk=None,
+        interpret=interpret,
+    )
+    return out, new_cache
+
+
+def ragged_paged_attention_fused_quant(
+    q: jnp.ndarray,          # [T, Hq, D]
+    kv_cache: jnp.ndarray,   # [pages, bs, 2*Hk*D] int8 — WITHOUT this step
+    kv_scales: jnp.ndarray,  # [pages, bs, 128] bf16 scale pages
+    k_new: jnp.ndarray,      # [T, Hk, D] float
+    v_new: jnp.ndarray,
+    meta: AttentionMetadata,
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    soft_cap: Optional[float] = None,
+    scales_new: Optional[jnp.ndarray] = None,  # [T, 2] (TP: precomputed)
+    interpret: bool = False,
+):
+    """INT8-KV decode with quantize + cache write + attention in ONE kernel:
+    the new row is quantized outside (cheap elementwise), patched into the
+    loaded chunk with its scale row, both page windows written back by DMA,
+    and every chunk dequantized on the VPU before the MXU matmuls.
+    Requires pure decode and ``block_size % 32 == 0`` (int8 sublane tile).
+    Returns (out [T, Hq, D], kv_cache, kv_scales)."""
+    from .kv_cache import SCALE_LANES, kv_quant_scales, quantize_kv_rows
+
+    assert kv_cache.dtype == jnp.int8
+    assert meta.block_size % WB_SUB_I8 == 0
+    sc_t = kv_quant_scales(k_new, v_new) if scales_new is None else scales_new
+    kvn = quantize_kv_rows(k_new, v_new, sc_t)
+    scn = jnp.pad(
+        sc_t.astype(jnp.bfloat16), ((0, 0), (0, SCALE_LANES - 2))
+    )
     return _paged_attention_call(
         q,
         kv_cache,
@@ -609,4 +777,6 @@ def ragged_paged_attention_fused(
         block_q=None,
         pages_per_chunk=None,
         interpret=interpret,
+        kv_scales=kv_scales,
+        scn=scn,
     )

@@ -84,10 +84,15 @@ def main() -> None:
     pages_per_seq = (ctx + steps) // block_size + 1
     num_blocks = S * pages_per_seq + 8
 
+    # REAL int8 KV cache + bf16 scale pages (BASELINE config #3: INT8
+    # weights AND INT8 KV — the fused quantize+write+attend Pallas path).
+    from atoma_infer_tpu.ops.kv_cache import alloc_kv_scales
+
     Lc, P_, bs_, row_ = model.kv_cache_shape(num_blocks, block_size)
     kv_cache = tuple(
-        jnp.zeros((P_, bs_, row_), dtype=jnp.bfloat16) for _ in range(Lc)
+        jnp.zeros((P_, bs_, row_), dtype=jnp.int8) for _ in range(Lc)
     )
+    kv_scales = tuple(alloc_kv_scales(P_, bs_) for _ in range(Lc))
     rng = np.random.default_rng(0)
     perm = rng.permutation(num_blocks - 1)[: S * pages_per_seq] + 1
     tables = jnp.asarray(perm.reshape(S, pages_per_seq), dtype=jnp.int32)
@@ -105,8 +110,8 @@ def main() -> None:
             jnp.full((S,), kv_len + 1, jnp.int32),
         )
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def step(params, kv_cache, tokens, positions, slots, seq_lens):
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def step(params, kv_cache, kv_scales, tokens, positions, slots, seq_lens):
         meta = AttentionMetadata(
             slot_mapping=slots,
             block_tables=tables,
@@ -114,24 +119,33 @@ def main() -> None:
             query_start_loc=qsl,
             num_seqs=num_seqs,
             block_size=block_size,
+            decode_only=True,  # pure decode → fused quant+write+attend
         )
-        hidden, kv_cache = model.forward(
-            params, tokens, positions, kv_cache, meta
+        hidden, kv_cache, kv_scales = model.forward(
+            params, tokens, positions, kv_cache, meta, kv_scales=kv_scales
         )
         logits = model.compute_logits(params, hidden)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32), kv_cache
+        return (
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            kv_cache,
+            kv_scales,
+        )
 
     tokens = jnp.zeros((S,), jnp.int32)
     pos, slots, sl = meta_for(0)
     t0c = time.time()
-    tokens, kv_cache = step(params, kv_cache, tokens, pos, slots, sl)
+    tokens, kv_cache, kv_scales = step(
+        params, kv_cache, kv_scales, tokens, pos, slots, sl
+    )
     np.asarray(tokens)
     print(f"# compile {time.time()-t0c:.0f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(1, 1 + steps):
         pos, slots, sl = meta_for(i)
-        tokens, kv_cache = step(params, kv_cache, tokens, pos, slots, sl)
+        tokens, kv_cache, kv_scales = step(
+            params, kv_cache, kv_scales, tokens, pos, slots, sl
+        )
     np.asarray(tokens)
     dt = time.perf_counter() - t0
 

@@ -333,3 +333,161 @@ class TestFusedDecodeWrite:
         )
         assert_close(got, want, qsl)
         np.testing.assert_array_equal(new_cache, want_cache)
+
+
+class TestInt8KVKernel:
+    """INT8-KV paths: in-kernel VPU dequant (scale pages riding the chunk
+    DMAs) vs the XLA dequant oracle, and the fully fused
+    quantize+write+attend decode kernel (BASELINE config #3 north star;
+    the reference has no KV quantization)."""
+
+    def _make_quant(self, rng, specs, *, block_size=32, num_blocks=32,
+                    num_q_heads=8, num_kv_heads=4, head_dim=64,
+                    pad_seqs_to=None):
+        q, kv_cache, meta = make_case(
+            rng,
+            seq_specs=specs,
+            num_blocks=num_blocks,
+            block_size=block_size,
+            num_q_heads=num_q_heads,
+            num_kv_heads=num_kv_heads,
+            head_dim=head_dim,
+            pad_seqs_to=pad_seqs_to,
+        )
+        import ml_dtypes
+
+        from atoma_infer_tpu.ops.kv_cache import SCALE_LANES
+
+        D = head_dim
+        cache_f = np.asarray(kv_cache, np.float32)
+        nb, bs, row = cache_f.shape
+        # Per-(slot, K/V) absmax over the head-interleaved [K_h | V_h]
+        # lanes, rounded through bf16 (the scale-page storage precision).
+        lanes_k = ((np.arange(row) // D) % 2) == 0
+        flat = cache_f.reshape(nb * bs, row)
+        k_abs = np.abs(flat[:, lanes_k]).max(axis=1)
+        v_abs = np.abs(flat[:, ~lanes_k]).max(axis=1)
+        k_s = np.maximum(k_abs / 127.0, 1e-8).astype(
+            ml_dtypes.bfloat16
+        ).astype(np.float32)
+        v_s = np.maximum(v_abs / 127.0, 1e-8).astype(
+            ml_dtypes.bfloat16
+        ).astype(np.float32)
+        sc_row = np.where(lanes_k[None, :], k_s[:, None], v_s[:, None])
+        q_cache = np.clip(np.round(flat / sc_row), -127, 127).astype(np.int8)
+        sc_pages = np.zeros((nb * bs, SCALE_LANES), ml_dtypes.bfloat16)
+        sc_pages[:, 0] = k_s
+        sc_pages[:, 1] = v_s
+        return (
+            q,
+            jnp.asarray(q_cache.reshape(nb, bs, row)),
+            jnp.asarray(sc_pages.reshape(nb, bs, SCALE_LANES)),
+            meta,
+        )
+
+    def _oracle(self, q, q_cache, kv_scales, meta, *, head_dim,
+                sliding_window=None):
+        from atoma_infer_tpu.ops.kv_cache import kv_cache_view, scales_flat
+
+        Hk = q_cache.shape[2] // (2 * head_dim)
+        k_view, v_view = kv_cache_view(q_cache, Hk, head_dim)
+        k_scale, v_scale = scales_flat(kv_scales)
+        return np.asarray(
+            ragged_paged_attention_xla(
+                q, k_view, v_view, meta.block_tables, meta.seq_lens,
+                meta.query_start_loc, scale=q.shape[-1] ** -0.5,
+                block_size=meta.block_size, sliding_window=sliding_window,
+                k_scale=k_scale, v_scale=v_scale,
+            )
+        )
+
+    def test_int8_decode_batch(self):
+        rng = np.random.default_rng(30)
+        specs = [(1, kv) for kv in (1, 5, 31, 33, 64, 128)]
+        q, q_cache, kv_scales, meta = self._make_quant(
+            rng, specs, pad_seqs_to=8
+        )
+        got = np.asarray(
+            ragged_paged_attention_pallas(
+                q, q_cache, meta, scale=q.shape[-1] ** -0.5,
+                kv_scales=kv_scales, interpret=True,
+            )
+        )
+        want = self._oracle(q, q_cache, kv_scales, meta, head_dim=64)
+        assert_close(got, want, np.asarray(meta.query_start_loc))
+
+    def test_int8_prefill_and_mixed(self):
+        rng = np.random.default_rng(31)
+        specs = [(40, 40), (1, 70), (8, 24)]
+        q, q_cache, kv_scales, meta = self._make_quant(
+            rng, specs, num_blocks=16
+        )
+        got = np.asarray(
+            ragged_paged_attention_pallas(
+                q, q_cache, meta, scale=q.shape[-1] ** -0.5,
+                kv_scales=kv_scales, interpret=True,
+            )
+        )
+        want = self._oracle(q, q_cache, kv_scales, meta, head_dim=64)
+        assert_close(got, want, np.asarray(meta.query_start_loc))
+
+    def test_int8_long_kv_multi_chunk(self):
+        rng = np.random.default_rng(32)
+        q, q_cache, kv_scales, meta = self._make_quant(
+            rng, [(1, 1000), (1, 600)], num_blocks=64,
+        )
+        got = np.asarray(
+            ragged_paged_attention_pallas(
+                q, q_cache, meta, scale=q.shape[-1] ** -0.5,
+                kv_scales=kv_scales, pages_per_chunk=4, interpret=True,
+            )
+        )
+        want = self._oracle(q, q_cache, kv_scales, meta, head_dim=64)
+        assert_close(got, want, np.asarray(meta.query_start_loc))
+
+    def test_int8_fused_decode(self):
+        from atoma_infer_tpu.ops.kv_cache import write_kv_cache_quant
+        from atoma_infer_tpu.ops.paged_attention import (
+            ragged_paged_attention_fused_quant,
+        )
+        import dataclasses
+
+        rng = np.random.default_rng(33)
+        specs = [(1, kv) for kv in (1, 32, 33, 64, 95, 128)]
+        block_size, head_dim = 32, 64
+        q, q_cache, kv_scales, meta = self._make_quant(
+            rng, specs, pad_seqs_to=8, num_blocks=32,
+        )
+        T = q.shape[0]
+        slots = np.full((T,), -1, np.int32)
+        tables = np.asarray(meta.block_tables)
+        lens = np.asarray(meta.seq_lens)
+        qsl = np.asarray(meta.query_start_loc)
+        for s in range(len(specs)):
+            pos = lens[s] - 1
+            slots[qsl[s]] = tables[s, pos // block_size] * block_size + (
+                pos % block_size
+            )
+        meta = dataclasses.replace(
+            meta, slot_mapping=jnp.asarray(slots), decode_only=True
+        )
+        k_new = jnp.asarray(rng.standard_normal((T, 4, head_dim)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((T, 4, head_dim)), jnp.float32)
+        scale = head_dim**-0.5
+
+        want_cache, want_scales = write_kv_cache_quant(
+            q_cache, kv_scales, k_new, v_new, meta.slot_mapping
+        )
+        want = self._oracle(q, want_cache, want_scales, meta, head_dim=64)
+
+        got, new_cache, new_scales = ragged_paged_attention_fused_quant(
+            q, q_cache, kv_scales, k_new, v_new, meta, scale=scale,
+            interpret=True,
+        )
+        assert_close(np.asarray(got), want, qsl)
+        np.testing.assert_array_equal(
+            np.asarray(new_cache), np.asarray(want_cache)
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_scales), np.asarray(want_scales), rtol=1e-6
+        )

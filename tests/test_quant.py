@@ -194,8 +194,10 @@ class TestInt8KvCacheModel:
         h_f, _ = model.forward(params, tokens, positions, kv_f, meta)
         lp_f = jax.nn.log_softmax(model.compute_logits(params, h_f))
 
+        from atoma_infer_tpu.ops.kv_cache import alloc_kv_scales
+
         kv_q = jnp.zeros(model.kv_cache_shape(4, bs), jnp.int8)
-        scales = jnp.zeros((2, 4, bs, 2), jnp.float32)
+        scales = jnp.stack([alloc_kv_scales(4, bs)] * 2)
         h_q, kv_q, scales = model.forward(
             params, tokens, positions, kv_q, meta, kv_scales=scales
         )
@@ -207,7 +209,9 @@ class TestInt8KvCacheModel:
         assert np.abs(np.asarray(lp_f) - np.asarray(lp_q)).mean() < 0.05
         # The quantized cache really is int8 and scales were written.
         assert kv_q.dtype == jnp.int8
-        flat_scales = np.asarray(scales).reshape(2, 4 * bs, 2)
+        flat_scales = np.asarray(
+            scales[:, :, :, :2], dtype=np.float32
+        ).reshape(2, 4 * bs, 2)
         assert float(flat_scales[:, :T].min()) > 0
 
 
