@@ -43,6 +43,13 @@ class ModelConfig:
     # (config.rs device_ids) with a mesh shape over jax.devices().
     num_devices: Optional[int] = None  # None = all local devices
     tensor_parallel_size: int = 1
+    # Multi-host serving (BASELINE config #5): join a cross-host
+    # jax.distributed runtime before any device enumeration; the mesh then
+    # spans all hosts' chips and the scheduler is replicated per host
+    # (parallel/distributed.py). num_hosts None/1 = single-host.
+    num_hosts: Optional[int] = None
+    host_id: Optional[int] = None
+    coordinator_address: Optional[str] = None
     # Weight-only quantization: None | "int8" | "int4" (beyond the reference —
     # required by BASELINE.json configs #3-5).
     quantization: Optional[str] = None

@@ -105,6 +105,17 @@ class LlmService:
         from ``model_dir``/HF.
         """
         t0 = time.monotonic()
+        # Multi-host: join the cross-host runtime BEFORE any jax.devices()
+        # call so the mesh below spans every host's chips
+        # (docs/architecture.md §multi-host; replicated scheduler design).
+        if (config.model.num_hosts or 1) > 1:
+            from ..parallel.distributed import init_distributed
+
+            init_distributed(
+                config.model.coordinator_address,
+                config.model.num_hosts,
+                config.model.host_id,
+            )
         if model is None or params is None or tokenizer is None:
             if config.model.model_name == "tiny-random":
                 # Random-weight smoke model (tests + the verify drive).
