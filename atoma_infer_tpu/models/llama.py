@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.rope import RopeScalingConfig, apply_rope, compute_cos_sin_cache
-from ..ops.attention import AttentionMetadata, paged_attention_layer
+from ..ops.attention import (
+    AttentionMetadata,
+    alibi_slopes,
+    paged_attention_layer,
+)
 from ..ops.quant import QuantizedLinear, quantized_matmul
 
 
@@ -49,6 +53,9 @@ class LlamaConfig:
     eos_token_ids: Tuple[int, ...] = (128001, 128008, 128009)
     bos_token_id: int = 128000
     sliding_window: Optional[int] = None
+    # ALiBi positional bias instead of rope (ref kernel support:
+    # csrc/kernels/alibi.h, flash_attention.rs:175-196).
+    use_alibi: bool = False
     architecture: str = "llama"
 
     @classmethod
@@ -83,6 +90,7 @@ class LlamaConfig:
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             eos_token_ids=eos_ids,
             bos_token_id=d.get("bos_token_id", 1),
+            use_alibi=bool(d.get("alibi", d.get("use_alibi", False))),
             architecture=d.get("model_type", "llama"),
         )
 
@@ -133,6 +141,11 @@ class Llama:
         )
         self.rope_cos = cos
         self.rope_sin = sin
+        self.alibi = (
+            alibi_slopes(config.num_attention_heads)
+            if config.use_alibi
+            else None
+        )
 
     # -- parameter construction -------------------------------------------------
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
@@ -234,8 +247,9 @@ class Llama:
             vv = _linear(normed, lp["v_proj"]).reshape(
                 -1, cfg.num_key_value_heads, cfg.head_dim
             )
-            q = apply_rope(q, positions, cos, sin)
-            kk = apply_rope(kk, positions, cos, sin)
+            if self.alibi is None:
+                q = apply_rope(q, positions, cos, sin)
+                kk = apply_rope(kk, positions, cos, sin)
             # Write new KV into the paged cache, then attend over it
             # (ref: flash_attention.rs:360-361 order); TP shards heads
             # under shard_map when a mesh is set.
@@ -248,6 +262,7 @@ class Llama:
                 attn_meta,
                 scale=scale,
                 sliding_window=cfg.sliding_window,
+                alibi_slopes=self.alibi,
                 mesh=self.mesh,
                 page_map=page_map,
             )

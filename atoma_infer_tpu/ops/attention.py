@@ -66,6 +66,24 @@ jax.tree_util.register_dataclass(
 )
 
 
+def alibi_slopes(num_heads: int) -> jnp.ndarray:
+    """Standard ALiBi slope schedule (Press et al.; the values the
+    reference's models pass into its kernel via ``alibi_slopes``,
+    ref: models/src/flash_attention.rs:175-196). Returns [num_heads] f32."""
+    import math
+
+    def pow2(n: int) -> list:
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start ** (i + 1) for i in range(n)]
+
+    if math.log2(num_heads).is_integer():
+        vals = pow2(num_heads)
+    else:
+        m = 2 ** int(math.floor(math.log2(num_heads)))
+        vals = pow2(m) + pow2(2 * m)[0::2][: num_heads - m]
+    return jnp.asarray(vals, jnp.float32)
+
+
 # Kernel selection: "pallas" on real TPU, "xla" fallback elsewhere.
 _BACKEND = os.environ.get("ATOMA_ATTENTION_BACKEND", "auto")
 
@@ -126,6 +144,7 @@ def ragged_paged_attention(
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     kv_scales: Optional[jnp.ndarray] = None,  # [pages, bs, 128] bf16 pages
+    alibi_slopes: Optional[jnp.ndarray] = None,  # [Hq] f32
 ) -> jnp.ndarray:
     """Unified prefill+decode attention over the paged cache → [T, Hq, D]."""
     if _use_pallas() and _pallas_supported(q, kv_cache, meta):
@@ -139,6 +158,7 @@ def ragged_paged_attention(
             sliding_window=sliding_window,
             soft_cap=soft_cap,
             kv_scales=kv_scales,
+            alibi_slopes=alibi_slopes,
         )
     # XLA fallback: split the page-major rows into logical K/V views (free
     # on CPU; the Pallas path above never materializes this).
@@ -163,6 +183,7 @@ def ragged_paged_attention(
         soft_cap=soft_cap,
         k_scale=k_scale,
         v_scale=v_scale,
+        alibi_slopes=alibi_slopes,
     )
 
 
@@ -190,6 +211,7 @@ def paged_attention_layer(
     scale: float,
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
+    alibi_slopes: Optional[jnp.ndarray] = None,  # [Hq] f32
     mesh=None,
     page_map=None,
 ) -> tuple:
@@ -232,6 +254,7 @@ def paged_attention_layer(
                 scale=scale,
                 sliding_window=sliding_window,
                 soft_cap=soft_cap,
+                alibi_slopes=alibi_slopes,
             )
             return attn, kv_cache, None
         if kv_scales is not None:
@@ -248,6 +271,7 @@ def paged_attention_layer(
                     scale=scale,
                     sliding_window=sliding_window,
                     soft_cap=soft_cap,
+                    alibi_slopes=alibi_slopes,
                 )
             kv_cache, kv_scales = write_kv_cache_quant(
                 kv_cache, kv_scales, k_new, v_new, meta.slot_mapping
@@ -264,6 +288,7 @@ def paged_attention_layer(
             sliding_window=sliding_window,
             soft_cap=soft_cap,
             kv_scales=kv_scales,
+            alibi_slopes=alibi_slopes,
         )
         return attn, kv_cache, kv_scales
 
@@ -275,9 +300,16 @@ def paged_attention_layer(
     rep = P()
     m_spec = _meta_specs(meta, rep)
 
+    # ALiBi slopes shard over q heads like q itself (head h·G+g stays with
+    # its kv-head shard); passed positionally only when enabled so the
+    # disabled case stays structurally identical to round 1.
+    sl_extra = () if alibi_slopes is None else (alibi_slopes,)
+    sl_specs = () if alibi_slopes is None else (P(TP_AXIS),)
+
     if kv_scales is None:
 
-        def inner(q, kv_c, k_new, v_new, meta):
+        def inner(q, kv_c, k_new, v_new, meta, *sl):
+            slopes = sl[0] if sl else None
             if _fused_supported(q, kv_c, meta):
                 from .paged_attention import ragged_paged_attention_fused
 
@@ -290,6 +322,7 @@ def paged_attention_layer(
                     scale=scale,
                     sliding_window=sliding_window,
                     soft_cap=soft_cap,
+                    alibi_slopes=slopes,
                 )
             kv_c = write_kv_cache(kv_c, k_new, v_new, meta.slot_mapping)
             attn = ragged_paged_attention(
@@ -299,23 +332,25 @@ def paged_attention_layer(
                 scale=scale,
                 sliding_window=sliding_window,
                 soft_cap=soft_cap,
+                alibi_slopes=slopes,
             )
             return attn, kv_c
 
         attn, kv_cache = jax.shard_map(
             inner,
             mesh=mesh,
-            in_specs=(heads, rows, heads, heads, m_spec),
+            in_specs=(heads, rows, heads, heads, m_spec) + sl_specs,
             out_specs=(heads, rows),
             check_vma=False,
-        )(q, kv_cache, k_new, v_new, meta)
+        )(q, kv_cache, k_new, v_new, meta, *sl_extra)
         return attn, kv_cache, None
 
     # INT8 KV: absmax over the FULL head dim (auto-partitioned by XLA),
     # then per-shard quantize + write + attend with replicated scales.
     scales_t = kv_quant_scales(k_new, v_new)  # [T, 2]
 
-    def inner_q(q, kv_c, sc_c, k_new, v_new, scales_t, meta):
+    def inner_q(q, kv_c, sc_c, k_new, v_new, scales_t, meta, *sl):
+        slopes = sl[0] if sl else None
         if _fused_supported(q, kv_c, meta):
             from .paged_attention import ragged_paged_attention_fused_quant
 
@@ -330,6 +365,7 @@ def paged_attention_layer(
                 sliding_window=sliding_window,
                 soft_cap=soft_cap,
                 scales_new=scales_t,
+                alibi_slopes=slopes,
             )
         kv_c, sc_c = write_kv_cache_quant(
             kv_c, sc_c, k_new, v_new, meta.slot_mapping, scales=scales_t
@@ -342,14 +378,15 @@ def paged_attention_layer(
             sliding_window=sliding_window,
             soft_cap=soft_cap,
             kv_scales=sc_c,
+            alibi_slopes=slopes,
         )
         return attn, kv_c, sc_c
 
     attn, kv_cache, kv_scales = jax.shard_map(
         inner_q,
         mesh=mesh,
-        in_specs=(heads, rows, rep, heads, heads, rep, m_spec),
+        in_specs=(heads, rows, rep, heads, heads, rep, m_spec) + sl_specs,
         out_specs=(heads, rows, rep),
         check_vma=False,
-    )(q, kv_cache, kv_scales, k_new, v_new, scales_t, meta)
+    )(q, kv_cache, kv_scales, k_new, v_new, scales_t, meta, *sl_extra)
     return attn, kv_cache, kv_scales

@@ -112,6 +112,8 @@ def _kernel(
     scn_ref,          # [Tp, 128] bf16 VMEM — staged new-row scale rows
     kv_hbm_in,        # [num_pages, bs, 2*Hk*D] (aliased to kv_hbm)
     sc_hbm_in,        # [num_pages, bs, 128] bf16 (aliased to sc_hbm; int8 KV)
+    slope_ref,        # [G*BQ, 128] f32 VMEM — ALiBi slope of q head h·G+g at
+                      # (row g·BQ+i, lane h); zeros row when alibi disabled
     o_hbm,            # [W, G*BQ, Hk*D]
     kv_hbm,           # cache output (aliased; head-interleaved K|V rows)
     sc_hbm,           # scale pages output (aliased; K lane 0, V lane 1)
@@ -141,6 +143,7 @@ def _kernel(
     fuse_write: bool,
     single_chunk: bool,
     quant: bool,
+    alibi: bool,
     wb_sub: int,
 ):
     e = pl.program_id(0)
@@ -369,6 +372,19 @@ def _kernel(
             )  # [G·BQ, CHUNK]
             if soft_cap is not None:
                 sc = soft_cap * jnp.tanh(sc / soft_cap)
+            if alibi:
+                # ALiBi bias (ref: csrc/kernels/alibi.h): slope_h·(col−pos).
+                # Per-head slope column via lane-masked reduction (Mosaic
+                # rejects unaligned lane slicing).
+                sl_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (GBQ, 128), 1
+                )
+                slope_col = jnp.sum(
+                    jnp.where(sl_lane == h, slope_ref[...], 0.0),
+                    axis=1,
+                    keepdims=True,
+                )  # [G·BQ, 1]
+                sc = sc + slope_col * (col - pos).astype(jnp.float32)
             sc = jnp.where(mask, sc, NEG_INF)
             m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
             p_ = jnp.exp(sc - m_new)
@@ -503,6 +519,7 @@ def _paged_attention_call(
     interpret: bool,
     kv_scales: Optional[jnp.ndarray] = None,  # [pages, bs, 128] bf16 pages
     scn: Optional[jnp.ndarray] = None,        # [T, 128] staged scale rows
+    alibi_slopes: Optional[jnp.ndarray] = None,  # [Hq] f32
 ):
     T, Hq, D = q.shape
     num_pages_total, bs_cache, row = kv_cache.shape
@@ -557,6 +574,22 @@ def _paged_attention_call(
         else jnp.zeros((1, bs_cache, 128), jnp.bfloat16)
     )
 
+    alibi = alibi_slopes is not None
+    if alibi:
+        # Slope of q head h·G+g at (row g·BQ+i, lane h) — a [G·BQ, 128]
+        # constant the kernel reduces per kv head (traced, so TP shard_map
+        # can feed per-shard slopes).
+        g_row = jnp.arange(G * BQ, dtype=jnp.int32) // BQ       # [GBQ]
+        lanes = jnp.arange(128, dtype=jnp.int32)                # [128]
+        hmat = jnp.clip(lanes[None, :] * G + g_row[:, None], 0, Hq - 1)
+        slope_mat = jnp.where(
+            lanes[None, :] < Hk,
+            alibi_slopes.astype(jnp.float32)[hmat],
+            0.0,
+        )
+    else:
+        slope_mat = jnp.zeros((G * BQ, 128), jnp.float32)
+
     qsl = meta.query_start_loc
     entry_seq, entry_qb, offs = build_work_list(
         qsl, meta.num_seqs, block_q=BQ, num_entries=W
@@ -582,6 +615,7 @@ def _paged_attention_call(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # staged new-row scales
             pl.BlockSpec(memory_space=pl.ANY),      # fused kv cache
             pl.BlockSpec(memory_space=pl.ANY),      # kv scale pages
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # alibi slope matrix
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),      # o entries
@@ -619,6 +653,7 @@ def _paged_attention_call(
         fuse_write=fuse_write,
         single_chunk=single_chunk,
         quant=quant,
+        alibi=alibi,
         wb_sub=wbs,
     )
 
@@ -654,6 +689,7 @@ def _paged_attention_call(
         scn,
         kv_cache,
         sc_in,
+        slope_mat,
     )
     out_entries = _gmajor_to_entries(out_gm, W, BQ, Hk, G, D)
 
@@ -680,6 +716,7 @@ def ragged_paged_attention_pallas(
     pages_per_chunk: Optional[int] = None,
     interpret: bool = False,
     kv_scales: Optional[jnp.ndarray] = None,  # [pages, bs, 128] bf16 pages
+    alibi_slopes: Optional[jnp.ndarray] = None,  # [Hq] f32
 ) -> jnp.ndarray:
     """Unified prefill+decode paged attention on TPU (cache already contains
     this step's K/V). With ``kv_scales`` the cache is int8 and rows are
@@ -697,6 +734,7 @@ def ragged_paged_attention_pallas(
         pages_per_chunk=pages_per_chunk,
         interpret=interpret,
         kv_scales=kv_scales,
+        alibi_slopes=alibi_slopes,
     )
     return out
 
@@ -713,6 +751,7 @@ def ragged_paged_attention_fused(
     sliding_window: Optional[int] = None,
     soft_cap: Optional[float] = None,
     interpret: bool = False,
+    alibi_slopes: Optional[jnp.ndarray] = None,
 ):
     """Decode-only attention with the KV-cache write fused in (replaces
     reshape_and_cache + attention, ref flash_attention.rs:360-361 order).
@@ -733,6 +772,7 @@ def ragged_paged_attention_fused(
         block_q=None,
         pages_per_chunk=None,
         interpret=interpret,
+        alibi_slopes=alibi_slopes,
     )
     return out, new_cache
 
@@ -750,6 +790,7 @@ def ragged_paged_attention_fused_quant(
     soft_cap: Optional[float] = None,
     scales_new: Optional[jnp.ndarray] = None,  # [T, 2] (TP: precomputed)
     interpret: bool = False,
+    alibi_slopes: Optional[jnp.ndarray] = None,
 ):
     """INT8-KV decode with quantize + cache write + attention in ONE kernel:
     the new row is quantized outside (cheap elementwise), patched into the
@@ -779,4 +820,5 @@ def ragged_paged_attention_fused_quant(
         interpret=interpret,
         kv_scales=kv_scales,
         scn=scn,
+        alibi_slopes=alibi_slopes,
     )

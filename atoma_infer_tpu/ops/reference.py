@@ -39,6 +39,7 @@ def ragged_paged_attention_xla(
     soft_cap: Optional[float] = None,
     k_scale: Optional[jnp.ndarray] = None,  # [num_slots] per-slot dequant scales
     v_scale: Optional[jnp.ndarray] = None,
+    alibi_slopes: Optional[jnp.ndarray] = None,  # [Hq] f32 per-q-head slopes
 ) -> jnp.ndarray:
     """Masked paged attention over the whole ragged batch. Returns [T, Hq, D]."""
     num_tokens, num_q_heads, head_dim = q.shape
@@ -81,6 +82,12 @@ def ragged_paged_attention_xla(
         scores = soft_cap * jnp.tanh(scores / soft_cap)
 
     kv_pos = jnp.arange(ctx, dtype=jnp.int32)
+    if alibi_slopes is not None:
+        # ALiBi (ref: csrc/kernels/alibi.h; flash_attention.rs:175-196):
+        # score += slope_h · (kv_pos − q_pos); ≤ 0 under the causal mask.
+        dist = (kv_pos[None, :] - abs_pos[:, None]).astype(jnp.float32)
+        sl = alibi_slopes.astype(jnp.float32).reshape(num_kv_heads, group)
+        scores = scores + sl[None, :, :, None] * dist[:, None, None, :]
     causal = kv_pos[None, :] <= abs_pos[:, None]        # [T, ctx]
     valid = kv_pos[None, :] < seq_lens[token_seq][:, None]
     mask = causal & valid

@@ -97,6 +97,7 @@ def run_both(q, kv_cache, meta, **kw):
         block_size=meta.block_size,
         sliding_window=kw.get("sliding_window"),
         soft_cap=kw.get("soft_cap"),
+        alibi_slopes=kw.get("alibi_slopes"),
     )
     return np.asarray(got), np.asarray(want)
 
@@ -187,6 +188,56 @@ class TestPagedAttentionKernel:
         )
         got, want = run_both(q, kv, meta)
         assert_close(got, want, meta.query_start_loc)
+
+    def test_alibi_prefill_and_decode(self):
+        from atoma_infer_tpu.ops.attention import alibi_slopes
+
+        rng = np.random.default_rng(10)
+        slopes = alibi_slopes(8)
+        specs = [(32, 32), (1, 20), (1, 47)]
+        q, kv, meta = make_case(rng, seq_specs=specs, num_blocks=16)
+        got, want = run_both(q, kv, meta, alibi_slopes=slopes)
+        assert_close(got, want, meta.query_start_loc)
+        # The bias must actually change the result.
+        got0, _ = run_both(q, kv, meta)
+        total = int(meta.query_start_loc[-1])
+        assert not np.allclose(got[:total], got0[:total], atol=1e-3)
+
+    def test_alibi_gqa_long_kv(self):
+        from atoma_infer_tpu.ops.attention import alibi_slopes
+
+        rng = np.random.default_rng(11)
+        q, kv, meta = make_case(
+            rng,
+            seq_specs=[(8, 600)],
+            num_q_heads=8,
+            num_kv_heads=2,
+            num_blocks=64,
+        )
+        got, want = run_both(
+            q, kv, meta, alibi_slopes=alibi_slopes(8), pages_per_chunk=4
+        )
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_alibi_slope_values(self):
+        from atoma_infer_tpu.ops.attention import alibi_slopes
+
+        # Power of two: geometric 2^-(8/n · i) schedule (Press et al.).
+        np.testing.assert_allclose(
+            np.asarray(alibi_slopes(8)),
+            [2.0 ** -(i + 1) for i in range(8)],
+            rtol=1e-6,
+        )
+        # Non power of two: interleaved half-step slopes appended.
+        s12 = np.asarray(alibi_slopes(12))
+        assert s12.shape == (12,)
+        np.testing.assert_allclose(
+            s12[:8], [2.0 ** -(i + 1) for i in range(8)], rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            s12[8:], [2.0 ** -0.5, 2.0 ** -1.5, 2.0 ** -2.5, 2.0 ** -3.5],
+            rtol=1e-6,
+        )
 
     def test_bf16(self):
         rng = np.random.default_rng(9)
