@@ -285,13 +285,15 @@ class Scheduler:
             do_sample = True
             if is_prompt:
                 # Partial chunked prefills must not sample
-                # (ref: scheduler.rs:1510-1520). Multi-candidate (best_of)
-                # groups prefill whole prompts, never chunked.
+                # (ref: scheduler.rs:1510-1520). The scheduled chunk is the
+                # GROUP total; the worker contract (SequenceGroupMetadata)
+                # is PER SEQUENCE — best_of candidates chunk in lockstep so
+                # the per-seq size is the total over the candidate count.
                 seqs = group.get_seqs(SequenceStatus.RUNNING)
-                if len(seqs) == 1:
-                    computed = seqs[0].sequence_data.get_num_computed_tokens()
-                    if token_chunk_size + computed < seqs[0].get_len():
-                        do_sample = False
+                token_chunk_size = token_chunk_size // max(1, len(seqs))
+                computed = seqs[0].sequence_data.get_num_computed_tokens()
+                if token_chunk_size + computed < seqs[0].get_len():
+                    do_sample = False
 
             metadata_list.append(
                 SequenceGroupMetadata(
@@ -487,13 +489,41 @@ class Scheduler:
                 self.waiting.popleft()
                 continue
 
-            if enable_chunking and len(waiting_seqs) == 1:
-                num_new_tokens = min(num_new_tokens, budget.remaining_token_budget())
+            if enable_chunking:
+                if len(waiting_seqs) == 1:
+                    num_new_tokens = min(
+                        num_new_tokens, budget.remaining_token_budget()
+                    )
+                else:
+                    # Lockstep per-candidate chunk (see _get_num_new_tokens).
+                    per = min(
+                        waiting_seqs[0].get_num_new_tokens(),
+                        budget.remaining_token_budget() // len(waiting_seqs),
+                    )
+                    num_new_tokens = per * len(waiting_seqs)
 
             num_new_seqs = group.get_max_num_running_seqs()
             if num_new_tokens <= 0 or not budget.can_schedule(
                 num_new_tokens=num_new_tokens, num_new_seqs=num_new_seqs
             ):
+                if (
+                    num_new_tokens <= 0
+                    and budget.num_batched_tokens == 0
+                    and enable_chunking
+                ):
+                    # Even an empty step cannot fit one token per candidate
+                    # (best_of > max_num_batched_tokens): reject instead of
+                    # spinning on the queue head forever.
+                    logger.warning(
+                        "request %s needs more per-step tokens than "
+                        "max_num_batched_tokens allows — ignoring",
+                        group.request_id,
+                    )
+                    for seq in waiting_seqs:
+                        seq.status = SequenceStatus.FINISHED_IGNORED
+                    out.ignored_seq_groups.append(group)
+                    self.waiting.popleft()
+                    continue
                 break
 
             self.waiting.popleft()
@@ -502,14 +532,21 @@ class Scheduler:
             # num_computed_tokens — re-derive the chunk so cached prompt
             # tokens are never re-scheduled (the budget check above used the
             # conservative pre-allocation count).
+            running_seqs = group.get_seqs(SequenceStatus.RUNNING)
             num_new_tokens = sum(
-                s.get_num_new_tokens()
-                for s in group.get_seqs(SequenceStatus.RUNNING)
+                s.get_num_new_tokens() for s in running_seqs
             )
-            if enable_chunking and group.num_seqs(SequenceStatus.RUNNING) == 1:
-                num_new_tokens = min(
-                    num_new_tokens, budget.remaining_token_budget()
-                )
+            if enable_chunking:
+                if len(running_seqs) == 1:
+                    num_new_tokens = min(
+                        num_new_tokens, budget.remaining_token_budget()
+                    )
+                else:
+                    per = min(
+                        running_seqs[0].get_num_new_tokens(),
+                        budget.remaining_token_budget() // len(running_seqs),
+                    )
+                    num_new_tokens = per * len(running_seqs)
             out.seq_groups.append(
                 ScheduledSequenceGroup(
                     seq_group=group, token_chunk_size=num_new_tokens
@@ -740,6 +777,20 @@ class Scheduler:
     ) -> int:
         seqs = group.get_seqs(status)
         num = sum(seq.get_num_new_tokens() for seq in seqs)
-        if enable_chunking and len(seqs) == 1:
-            num = min(num, budget.remaining_token_budget())
+        if enable_chunking:
+            if len(seqs) == 1:
+                num = min(num, budget.remaining_token_budget())
+            else:
+                # Multi-candidate (best_of) groups chunk in LOCKSTEP: every
+                # candidate advances by the same per-seq chunk (they share
+                # one block table; identical prefill writes are idempotent).
+                # Flooring per seq keeps the group schedulable even when the
+                # combined prompt copies exceed the step budget — without
+                # this a long best_of prompt pins the waiting-queue head
+                # forever (admission livelock).
+                per = min(
+                    seqs[0].get_num_new_tokens(),
+                    budget.remaining_token_budget() // len(seqs),
+                )
+                num = per * len(seqs)
         return num

@@ -323,6 +323,61 @@ def test_chunked_prefill_mixes_decode_and_prefill():
     assert out.num_batched_tokens == 48
 
 
+def test_chunked_prefill_best_of_lockstep():
+    """A best_of group whose combined prompt copies exceed the step budget
+    must chunk candidates in LOCKSTEP (per-seq chunk = budget // n) rather
+    than pin the waiting-queue head forever (round-2 livelock fix)."""
+    from atoma_infer_tpu.sampling_params import (
+        NextTokenChooserParameters,
+        StoppingCriteriaParameters,
+    )
+    from atoma_infer_tpu.sequence import Sequence, SequenceGroup
+
+    sched = make_scheduler(
+        max_num_batched_tokens=64,
+        max_model_len=256,
+        enable_chunked_prefill=True,
+    )
+    prompt = list(range(80))
+    seqs = [
+        Sequence(
+            seq_id=1000 + i,
+            prompt="p",
+            prompt_token_ids=list(prompt),
+            block_size=BLOCK_SIZE,
+        )
+        for i in range(2)
+    ]
+    g = SequenceGroup(
+        request_id="r0",
+        sequences=seqs,
+        next_token_chooser_params=NextTokenChooserParameters(),
+        stopping_criteria=StoppingCriteriaParameters(max_new_tokens=8),
+        best_of=2,
+    )
+    sched.add_sequence_group(g)
+
+    # 2×80 = 160 tokens total vs 64-token budget → per-seq chunks of 32.
+    metadata, out = sched.schedule()
+    assert len(metadata) == 1
+    assert metadata[0].token_chunk_size == 32      # per-seq contract
+    assert not metadata[0].do_sample
+    assert out.num_batched_tokens == 64            # group total in budget
+    g.update_num_computed_tokens(32)
+
+    metadata, _ = sched.schedule()
+    assert metadata[0].token_chunk_size == 32
+    assert not metadata[0].do_sample
+    g.update_num_computed_tokens(32)
+
+    # Final lockstep chunk (16 per candidate) samples.
+    metadata, _ = sched.schedule()
+    assert metadata[0].token_chunk_size == 16
+    assert metadata[0].do_sample
+    g.update_num_computed_tokens(16)
+    assert not g.is_prefill()
+
+
 def test_cow_propagated_in_outputs():
     sched = make_scheduler(num_device_blocks=8)
     parent, group = create_dummy_prompt("r0", BLOCK_SIZE - 1, best_of=2)
