@@ -62,7 +62,10 @@ def _kernel(
     page_ids_ref,   # [W]
     # inputs
     kvn_ref,        # [T, R] VMEM - staged new rows
-    src_idx_ref,    # [W, block_size] SMEM scalars? -> VMEM ints
+    src_idx_ref,    # [8, block_size] SMEM — an 8-page window of the
+                    # source-row map holding THIS page's row (SMEM is ~1MB
+                    # total on v5e, a full [T, bs] map at T=2048 overflows
+                    # it; Mosaic block windows need sublane dims % 8)
     cache_in,       # [num_pages, bs, R] HBM (aliased)
     cache_out,
     # scratch
@@ -87,7 +90,7 @@ def _kernel(
         load.start()
         load.wait()
         for r in range(block_size):
-            src = src_idx_ref[w, r]
+            src = src_idx_ref[w % 8, r]
 
             @pl.when(src >= 0)
             def _():
@@ -133,15 +136,27 @@ def write_kv_cache_pallas(
         page_map = _build_page_map(slot_mapping, bs)
     page_ids, src_idx = page_map
     page_ids = jnp.clip(page_ids, -1, num_pages - 1)
+    # Pad the worklist to the SMEM window height (8); pad entries are
+    # inactive (page -1).
+    pad_w = (-page_ids.shape[0]) % 8
+    if pad_w:
+        page_ids = jnp.pad(page_ids, (0, pad_w), constant_values=-1)
+        src_idx = jnp.pad(src_idx, ((0, pad_w), (0, 0)), constant_values=-1)
+    W = page_ids.shape[0]
 
     out = pl.pallas_call(
         functools.partial(_kernel, block_size=bs),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(T,),
+            grid=(W,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),  # kvn
-                pl.BlockSpec(memory_space=pltpu.SMEM),  # src_idx
+                # The row map windowed through SMEM 8 pages at a time.
+                pl.BlockSpec(
+                    (8, bs),
+                    lambda w, *_: (w // 8, 0),
+                    memory_space=pltpu.SMEM,
+                ),
                 pl.BlockSpec(memory_space=pl.ANY),      # cache
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),

@@ -458,7 +458,15 @@ def _kernel(
         @pl.when(active)
         def _():
             issue_entry(e + 1)
-            nc = pl.cdiv(kv_len, CHUNK)
+            # Causal chunk limit: this entry's highest query row attends up
+            # to position kv_len−q_len+(b+1)·BQ−1; later chunks are fully
+            # masked — skip their DMA + compute entirely. This is the
+            # work-list analog of the reference's split-KV early exit
+            # (csrc/src/lib.rs:2122-2199): halves long-prefill attention
+            # traffic on average. Decode (q_len==1, b==0) is unaffected
+            # (limit == kv_len).
+            limit = jnp.minimum(kv_len, kv_len - q_len + (b + 1) * BQ)
+            nc = pl.cdiv(limit, CHUNK)
             q_dma(e, q_slot(e)).wait()
             # Per-kv-head query groups are VALUE lane slices of the
             # prearranged [G·BQ, Hk·D] window — no staging.

@@ -181,6 +181,22 @@ class TestPagedAttentionKernel:
         got, want = run_both(q, kv, meta, pages_per_chunk=4)
         assert_close(got, want, meta.query_start_loc)
 
+    def test_causal_chunk_limit_multi_qblock(self):
+        # Several q blocks × several KV chunks: early q blocks stop their
+        # chunk loop at the causal limit (skipped chunks are fully masked),
+        # so output must still match the oracle exactly.
+        rng = np.random.default_rng(12)
+        q, kv, meta = make_case(
+            rng,
+            seq_specs=[(128, 128), (64, 200)],
+            num_blocks=32,
+            block_size=16,
+        )
+        # block_q=64 → 2 q blocks for seq0; pages_per_chunk=2 → 32-row
+        # chunks, 4 (seq0) / 7 (seq1) chunks.
+        got, want = run_both(q, kv, meta, block_q=64, pages_per_chunk=2)
+        assert_close(got, want, meta.query_start_loc)
+
     def test_padding_seqs_ignored(self):
         rng = np.random.default_rng(8)
         q, kv, meta = make_case(

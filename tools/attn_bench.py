@@ -1,0 +1,143 @@
+"""Attention-kernel microbenchmark: effective KV-cache read bandwidth.
+
+Measures the fused decode attention kernel (quantize/write/attend) alone —
+one layer, Llama-1B attention shapes — at several context lengths, reporting
+effective KV bandwidth (bytes of cache the kernel must stream per step /
+measured step time) against the v5e HBM peak (~819 GB/s).
+
+Methodology (CLAUDE.md): remote dispatch overhead is ~1-2ms, so UNROLL
+inner_steps kernel calls inside one jit, chained through q so XLA cannot
+CSE them, and time a python dispatch loop whose inputs change per iteration.
+
+Usage:
+    python tools/attn_bench.py                 # real TPU
+    python tools/attn_bench.py --cpu           # interpret-mode smoke (tiny)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--seqs", type=int, default=64)
+    parser.add_argument("--block-size", type=int, default=32)
+    parser.add_argument("--max-ctx", type=int, default=32768)
+    parser.add_argument(
+        "--ctxs", type=int, nargs="*", default=[512, 2048, 8192, 32640]
+    )
+    parser.add_argument("--inner-steps", type=int, default=8)
+    parser.add_argument("--outer-steps", type=int, default=8)
+    args = parser.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        args.seqs, args.max_ctx = 4, 256
+        args.ctxs = [64, 192]
+        args.inner_steps = args.outer_steps = 2
+
+    import jax
+    import jax.numpy as jnp
+
+    from atoma_infer_tpu.ops.attention import AttentionMetadata
+    from atoma_infer_tpu.ops.paged_attention import (
+        ragged_paged_attention_fused,
+    )
+
+    # Llama-3.2-1B attention shapes.
+    Hq, Hk, D = (32, 8, 64) if not args.cpu else (8, 4, 32)
+    S, bs = args.seqs, args.block_size
+    P = args.max_ctx // bs + 1
+    num_blocks = S * P + 8
+    row = 2 * Hk * D
+    scale = D**-0.5
+
+    rng = np.random.default_rng(0)
+    kv0 = jnp.asarray(
+        rng.standard_normal((num_blocks, bs, row)), jnp.bfloat16
+    )
+    perm = rng.permutation(num_blocks - 1)[: S * P] + 1
+    tables = jnp.asarray(perm.reshape(S, P), dtype=jnp.int32)
+    qsl = jnp.arange(S + 1, dtype=jnp.int32)
+    num_seqs = jnp.asarray(S, jnp.int32)
+
+    @partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
+    def steps(q, kv_cache, slots, seq_lens, kn, inner):
+        meta = AttentionMetadata(
+            slot_mapping=slots,
+            block_tables=tables,
+            seq_lens=seq_lens,
+            query_start_loc=qsl,
+            num_seqs=num_seqs,
+            block_size=bs,
+            decode_only=True,
+        )
+        out = jnp.zeros((S, Hq, D), q.dtype)
+        for _ in range(inner):
+            # Chain q through the previous output so XLA cannot CSE the
+            # unrolled kernel calls.
+            qi = q + 0.0 * out.mean()
+            out, kv_cache = ragged_paged_attention_fused(
+                qi, kv_cache, kn, kn, meta, scale=scale,
+                interpret=jax.default_backend() == "cpu",
+            )
+        return out, kv_cache
+
+    results = []
+    for ctx in args.ctxs:
+        kv_cache = jnp.array(kv0, copy=True)  # kv0 survives the donation
+        q = jnp.asarray(
+            rng.standard_normal((S, Hq, D)), jnp.bfloat16
+        )
+        kn = jnp.asarray(rng.standard_normal((S, Hk, D)), jnp.bfloat16)
+
+        def meta_for(i):
+            kv_len = ctx + i
+            page = np.asarray(tables)[np.arange(S), kv_len // bs]
+            return (
+                jnp.asarray(page * bs + kv_len % bs, jnp.int32),
+                jnp.full((S,), kv_len + 1, jnp.int32),
+            )
+
+        slots, sl = meta_for(0)
+        out, kv_cache = steps(q, kv_cache, slots, sl, kn, args.inner_steps)
+        np.asarray(out)  # compile + sync
+
+        t0 = time.perf_counter()
+        for i in range(1, 1 + args.outer_steps):
+            slots, sl = meta_for(i)
+            out, kv_cache = steps(q, kv_cache, slots, sl, kn, args.inner_steps)
+        np.asarray(out)
+        dt = time.perf_counter() - t0
+
+        n = args.inner_steps * args.outer_steps
+        step_ms = dt / n * 1e3
+        kv_bytes = S * ctx * row * 2  # bf16 cache rows streamed per step
+        gbps = kv_bytes / (dt / n) / 1e9
+        results.append(
+            {
+                "ctx": ctx,
+                "step_ms": round(step_ms, 3),
+                "kv_gb_per_s": round(gbps, 1),
+                "pct_hbm_peak": round(100 * gbps / 819, 1),
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+
+    print(json.dumps({"metric": "attn_kernel_bandwidth", "results": results}))
+
+
+if __name__ == "__main__":
+    main()
