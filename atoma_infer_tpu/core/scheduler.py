@@ -25,6 +25,7 @@ from collections import deque
 from typing import Deque, Dict, List, Optional, Set, Tuple
 
 from ..config import CacheConfig, SchedulerConfig
+from ..utils.tracing import instrument
 from ..sequence import (
     SequenceGroup,
     SequenceGroupMetadata,
@@ -248,6 +249,7 @@ class Scheduler:
         self.running = deque(g for g in self.running if not g.is_finished())
 
     # ----------------------------------------------------------------- schedule
+    @instrument("scheduler.schedule")
     def schedule(
         self,
     ) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:

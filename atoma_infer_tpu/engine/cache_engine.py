@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 
+from ..utils.tracing import instrument
 from ..ops.kv_cache import (
     SCALE_LANES,
     copy_blocks_layer_jit,
@@ -125,6 +126,7 @@ class CacheEngine:
         out[: len(ids)] = ids
         return out
 
+    @instrument("cache.swap_out")
     def swap_out(self, mapping: List[Tuple[int, int]]) -> None:
         """Device→host block copies (ref: worker.rs:600-614).
 
@@ -158,6 +160,7 @@ class CacheEngine:
                     sgathered[layer]
                 )[:n]
 
+    @instrument("cache.swap_in")
     def swap_in(self, mapping: List[Tuple[int, int]]) -> None:
         """Host→device block copies (ref: worker.rs:616-630).
 

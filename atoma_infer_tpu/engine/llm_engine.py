@@ -30,6 +30,7 @@ from ..sequence import (
     SequenceStatus,
 )
 from ..server import metrics
+from ..utils.tracing import instrument
 from .detokenizer import Detokenizer
 from .worker import ModelWorker
 
@@ -190,6 +191,7 @@ class LlmEngine:
                 self.scheduler.add_sequence_group(group)
 
     # ------------------------------------------------------------------- step
+    @instrument("engine.step")
     def step(self) -> List[GenerateRequestOutput]:
         """One engine iteration (ref: llm_engine.rs:216-245)."""
         self._drain_aborts()

@@ -31,6 +31,7 @@ from .llm_engine import LlmEngine
 from .tokenizer import TokenizerPool
 from .validation import Validation
 from .worker import ModelWorker
+from ..utils.tracing import instrument
 
 logger = logging.getLogger(__name__)
 
@@ -257,6 +258,7 @@ class LlmService:
         )
 
     # --------------------------------------------------------------- admission
+    @instrument("service.handle_request")
     async def handle_request(
         self,
         request: GenerateRequest,

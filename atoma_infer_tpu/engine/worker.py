@@ -31,6 +31,7 @@ from ..sequence import (
 from .cache_engine import CacheEngine
 from .input_prep import prepare_model_input
 from .sampler import PENALTY_WINDOW, SamplingTensors, sample
+from ..utils.tracing import instrument
 
 logger = logging.getLogger(__name__)
 
@@ -117,6 +118,7 @@ class ModelWorker:
         return kv_cache, kv_scales, tokens, logprobs, top_tokens
 
     # ------------------------------------------------------------------ public
+    @instrument("worker.execute_model")
     def execute_model(
         self, request: ExecuteModelRequest
     ) -> Dict[str, SequenceGroupOutput]:
