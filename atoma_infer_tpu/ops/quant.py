@@ -67,12 +67,19 @@ def quantize_weight(
     q = jnp.clip(jnp.round(wf / scales), -qmax, qmax).astype(jnp.int8)
     q = q.reshape(in_dim, out_dim)
     if bits == 4:
-        # Group-local halves packing: within each scale group of rows the
-        # first half lives in low nibbles, the second half in high nibbles —
-        # a packed block then unpacks with one sublane concat in the Pallas
-        # kernel (no row interleave).
+        # Group-local halves packing with BIASED nibbles: within each scale
+        # group of rows the first half lives in low nibbles, the second half
+        # in high nibbles, each stored as q+8 ∈ [1, 15]. Biased storage lets
+        # the Pallas kernel dequantize with a plain subtract — no sign-fix
+        # compare (Mosaic has no vector compares on 8-bit types) — and a
+        # packed block unpacks with one sublane concat (no row interleave).
         assert in_dim % 2 == 0 and group_size % 2 == 0
-        qg = q.reshape(in_dim // group_size, group_size, out_dim)
+        qg = (
+            q.reshape(in_dim // group_size, group_size, out_dim).astype(
+                jnp.int32
+            )
+            + 8
+        )
         lo = qg[:, : group_size // 2].astype(jnp.uint8) & 0xF
         hi = (qg[:, group_size // 2 :].astype(jnp.uint8) & 0xF) << 4
         q = (lo | hi).astype(jnp.int8).reshape(in_dim // 2, out_dim)
@@ -86,12 +93,10 @@ def quantize_weight(
 
 def _unpack_int4(packed: jnp.ndarray, group_size: int) -> jnp.ndarray:
     """Unpack [..., in/2, out] int8 bytes → [..., in, out] int8 in [-7, 7]
-    (group-local halves packing — see quantize_weight)."""
+    (group-local halves, biased nibbles — see quantize_weight)."""
     as_u8 = packed.astype(jnp.uint8)
-    lo = (as_u8 & 0xF).astype(jnp.int8)
-    hi = ((as_u8 >> 4) & 0xF).astype(jnp.int8)
-    lo = jnp.where(lo > 7, lo - 16, lo)
-    hi = jnp.where(hi > 7, hi - 16, hi)
+    lo = (as_u8 & 0xF).astype(jnp.int8) - 8
+    hi = ((as_u8 >> 4) & 0xF).astype(jnp.int8) - 8
     half = group_size // 2
     in_half, out_dim = packed.shape[-2], packed.shape[-1]
     gs = in_half // half
@@ -120,16 +125,32 @@ def dequantize_weight(w: QuantizedTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
 def quantized_matmul(x: jnp.ndarray, w: QuantizedTensor) -> jnp.ndarray:
     """``x @ dequant(w)`` with dequant fused into the contraction.
 
-    The grouped XLA contraction keeps the int8→bf16 convert adjacent to the
-    dot; measured on v5e it outperforms the Pallas kernels in
-    ops/quant_kernels.py (XLA int8 1.75×/347GB/s-eff vs kernel 215GB/s —
-    the kernels remain as groundwork; their int4 float-based nibble unpack
-    is VPU-bound).
+    INT8 uses the grouped XLA contraction (keeps the int8→bf16 convert
+    adjacent to the dot; measured 1.75×/347GB/s-eff on v5e, faster than the
+    round-1 Pallas i8 kernel). INT4 on TPU uses the Pallas kernel: XLA's
+    int4 path materializes loop-invariant nibble-unpack temps in HBM (OOMs
+    an 8B 32-layer model) and reached only 1.16× over bf16; the kernel
+    unpacks biased nibbles with int32 bitcast ops in VMEM, streaming packed
+    weights at 0.5 bytes/weight.
     """
     q = w.qweight
     in_dim_q = q.shape[-2] * (2 if w.bits == 4 else 1)
     group_size = w.group_size if in_dim_q % w.group_size == 0 else in_dim_q
     if w.bits == 4:
+        N = q.shape[-1]
+        if (
+            jax.default_backend() == "tpu"
+            and q.ndim == 2
+            and x.ndim == 2
+            and in_dim_q % group_size == 0
+            and N % min(512, N) == 0
+            and group_size % 2 == 0
+        ):
+            from .quant_kernels import quantized_matmul_pallas
+
+            return quantized_matmul_pallas(
+                x, q, w.scales, bits=4, group_size=group_size
+            ).astype(x.dtype)
         q = _unpack_int4(q, group_size)
     in_dim, out_dim = q.shape[-2:]
     num_groups = in_dim // group_size

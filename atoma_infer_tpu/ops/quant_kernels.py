@@ -57,14 +57,13 @@ def _kernel_i8(
     x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, groups_per_blk: int,
     group_size: int,
 ):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    bk = w_ref.shape[0]
-    x_blk = x_ref[:, pl.ds(k * bk, bk)]
+    x_blk = x_ref[...]
     w_blk = w_ref[...].astype(jnp.bfloat16)
     acc_ref[...] += _scaled_dot(
         x_blk, w_blk, s_ref, k, groups_per_blk, group_size
@@ -77,23 +76,37 @@ def _kernel_i8(
 
 def _kernel_i4(
     x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, groups_per_blk: int,
-    group_size: int,
+    group_size: int, use_bitcast: bool,
 ):
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = w_ref[...]  # [BK/2, BN] int8, group-local halves
-    # Mosaic lacks vector shifts on 8-bit types: extract nibbles with float
-    # arithmetic (u8 = hi·16 + lo; both in [0,16)).
-    pf = packed.astype(jnp.float32)
-    as_f = jnp.where(pf < 0.0, pf + 256.0, pf)
-    hi_f = jnp.floor(as_f * (1.0 / 16.0))
-    lo_f = as_f - hi_f * 16.0
-    lo = jnp.where(lo_f > 7.0, lo_f - 16.0, lo_f).astype(jnp.bfloat16)
-    hi = jnp.where(hi_f > 7.0, hi_f - 16.0, hi_f).astype(jnp.bfloat16)
+    packed = w_ref[...]  # [BK/2, BN] int8, group-local halves, BIASED q+8
+    if use_bitcast:
+        # Nibble extraction in int32: bitcast packs 4 int8 sublanes per
+        # int32 lane, mask/shift extract all nibbles as bytes, bitcast back
+        # restores the original rows (per-byte masks are byte-order
+        # agnostic). Pure integer VPU ops on 4 bytes per lane — replaces
+        # the float floor/mul unpack that made the int4 path VPU-bound.
+        p32 = pltpu.bitcast(packed, jnp.int32)            # [BK/8, BN]
+        lo8 = pltpu.bitcast(p32 & 0x0F0F0F0F, jnp.int8)   # [BK/2, BN] 0..15
+        hi8 = pltpu.bitcast(
+            (p32 >> 4) & 0x0F0F0F0F, jnp.int8
+        )
+        lo = lo8.astype(jnp.bfloat16) - 8.0
+        hi = hi8.astype(jnp.bfloat16) - 8.0
+    else:
+        # Interpret-mode fallback (pltpu.bitcast is TPU-only): float
+        # arithmetic unpack (u8 = hi·16 + lo, both in [0,16)), then unbias.
+        pf = packed.astype(jnp.float32)
+        as_f = jnp.where(pf < 0.0, pf + 256.0, pf)
+        hi_f = jnp.floor(as_f * (1.0 / 16.0))
+        lo_f = as_f - hi_f * 16.0
+        lo = (lo_f - 8.0).astype(jnp.bfloat16)
+        hi = (hi_f - 8.0).astype(jnp.bfloat16)
     # Packed halves are group-local: reassemble [g0lo..g0hi..g1lo..] order.
     half = group_size // 2
     pieces = []
@@ -102,10 +115,8 @@ def _kernel_i4(
         pieces.append(hi[g * half : (g + 1) * half, :])
     w_blk = jnp.concatenate(pieces, axis=0)  # [BK, BN]
 
-    bk = w_blk.shape[0]
-    x_blk = x_ref[:, pl.ds(k * bk, bk)]
     acc_ref[...] += _scaled_dot(
-        x_blk, w_blk, s_ref, k, groups_per_blk, group_size
+        x_ref[...], w_blk, s_ref, k, groups_per_blk, group_size
     )
 
     @pl.when(k == n_k - 1)
@@ -122,6 +133,7 @@ def quantized_matmul_pallas(
     group_size: int = 128,
     block_n: int = 512,
     interpret: bool = False,
+    block_m: int = 256,
 ) -> jnp.ndarray:
     M, K = x.shape
     N = qweight.shape[1]
@@ -134,35 +146,60 @@ def quantized_matmul_pallas(
     assert scales.shape == (n_groups, N), (scales.shape, (n_groups, N))
 
     xb = x.astype(jnp.bfloat16)
+    # M-blocking: decode batches (M ≤ block_m) run one M block and stream
+    # every weight block exactly once (bandwidth-bound); prefill chunks tile
+    # M and re-read weights n_m× (compute-bound — the re-read is cheap
+    # relative to the MXU work, and nothing is ever materialized in HBM,
+    # unlike the XLA path whose loop-invariant unpack temps OOM at 8B/32L).
+    pad_m = (-M) % 8
+    if pad_m:
+        xb = jnp.pad(xb, ((0, pad_m), (0, 0)))
+    Mp = M + pad_m
+    BM = min(block_m, Mp)
+    if Mp % BM:
+        pad2 = BM - Mp % BM
+        xb = jnp.pad(xb, ((0, pad2), (0, 0)))
+        Mp += pad2
+    n_m = Mp // BM
+
     pad_g = (-n_groups) % 8
     if pad_g:
         scales = jnp.pad(scales, ((0, pad_g), (0, 0)))
-    kernel = _kernel_i8 if bits == 8 else _kernel_i4
     wk_rows = BK if bits == 8 else BK // 2
-
-    out = pl.pallas_call(
-        functools.partial(
-            kernel,
+    if bits == 8:
+        kernel = functools.partial(
+            _kernel_i8,
             n_k=n_k,
             groups_per_blk=groups_per_blk,
             group_size=group_size,
-        ),
-        grid=(N // BN, n_k),
+        )
+    else:
+        kernel = functools.partial(
+            _kernel_i4,
+            n_k=n_k,
+            groups_per_blk=groups_per_blk,
+            group_size=group_size,
+            use_bitcast=not interpret,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_m, N // BN, n_k),
         in_specs=[
-            pl.BlockSpec((M, K), lambda n, k: (0, 0),
+            pl.BlockSpec((BM, BK), lambda m, n, k: (m, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wk_rows, BN), lambda n, k: (k, n),
+            pl.BlockSpec((wk_rows, BN), lambda m, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups + pad_g, BN), lambda n, k: (0, n),
+            pl.BlockSpec((n_groups + pad_g, BN), lambda m, n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((M, BN), lambda n, k: (0, n),
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((M, BN), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(xb, qweight, scales)
-    return out
+    return out[:M] if Mp != M else out
