@@ -172,10 +172,15 @@ class LlmService:
                     f"tensor_parallel_size {tp} > visible devices "
                     f"({len(devices)})"
                 )
-            if cfg.num_kv_heads % tp or cfg.num_attention_heads % tp:
+            # q heads must divide tp; kv heads must divide tp OR tp divide
+            # into kv heads — when tp > kv_heads the model replicates each
+            # kv head across tp//Hk shards (models/llama.py kv_repeat).
+            if cfg.num_attention_heads % tp or (
+                cfg.num_kv_heads % tp and tp % cfg.num_kv_heads
+            ):
                 raise ValueError(
                     f"head counts (q={cfg.num_attention_heads}, "
-                    f"kv={cfg.num_kv_heads}) not divisible by "
+                    f"kv={cfg.num_kv_heads}) incompatible with "
                     f"tensor_parallel_size {tp}"
                 )
             mesh = make_mesh(tp=tp, devices=devices[:tp])
@@ -189,9 +194,11 @@ class LlmService:
             )
 
         # Profile KV pools AFTER weights are resident (ref: config.rs:624-625).
+        # effective_kv_heads accounts for KV replication when tp > Hk.
+        eff_kv_heads = getattr(model, "effective_kv_heads", cfg.num_kv_heads)
         config.cache.profile(
             cfg.num_layers,
-            cfg.num_kv_heads,
+            eff_kv_heads,
             cfg.head_dim,
             config.model.kv_dtype_size,
         )
@@ -201,7 +208,7 @@ class LlmService:
         )
         cache_engine = CacheEngine(
             num_layers=cfg.num_layers,
-            num_kv_heads=cfg.num_kv_heads,
+            num_kv_heads=eff_kv_heads,
             head_dim=cfg.head_dim,
             block_size=config.cache.block_size,
             num_device_blocks=config.cache.num_device_blocks,

@@ -147,6 +147,25 @@ class Llama:
             else None
         )
 
+    @property
+    def kv_repeat(self) -> int:
+        """KV-head replication factor for tensor parallelism wider than the
+        kv-head count (e.g. 70B GQA-8 on a 16-chip mesh): each kv head is
+        written to ``tp // Hk`` consecutive shards so every q-head shard
+        attends locally with zero collectives. Costs ×repeat KV memory —
+        the standard GQA trade (the reference caps tp at kv_heads instead,
+        worker.rs:584-591)."""
+        if self.mesh is None:
+            return 1
+        from ..parallel.mesh import TP_AXIS
+
+        tp = self.mesh.shape.get(TP_AXIS, 1)
+        return max(1, tp // self.config.num_key_value_heads)
+
+    @property
+    def effective_kv_heads(self) -> int:
+        return self.config.num_key_value_heads * self.kv_repeat
+
     # -- parameter construction -------------------------------------------------
     def init_params(self, rng: jax.Array) -> Dict[str, Any]:
         """Random-init parameters (tests/benchmarks; real serving loads
@@ -250,6 +269,13 @@ class Llama:
             if self.alibi is None:
                 q = apply_rope(q, positions, cos, sin)
                 kk = apply_rope(kk, positions, cos, sin)
+            if self.kv_repeat > 1:
+                # TP wider than the kv-head count: tile each kv head across
+                # its tp//Hk q-head shards (rope already applied; repeat
+                # keeps head j's copies at tiled slots [j·r, (j+1)·r), which
+                # is exactly where its q heads land under head sharding).
+                kk = jnp.repeat(kk, self.kv_repeat, axis=1)
+                vv = jnp.repeat(vv, self.kv_repeat, axis=1)
             # Write new KV into the paged cache, then attend over it
             # (ref: flash_attention.rs:360-361 order); TP shards heads
             # under shard_map when a mesh is set.
@@ -333,5 +359,5 @@ class Llama:
             cfg.num_layers,
             num_blocks,
             block_size,
-            2 * cfg.num_key_value_heads * cfg.head_dim,
+            2 * self.effective_kv_heads * cfg.head_dim,
         )

@@ -26,7 +26,7 @@ from atoma_infer_tpu.models.llama import Llama, LlamaConfig
 from atoma_infer_tpu.types import GenerateParameters, GenerateRequest
 
 
-def build_tp_model():
+def build_tp_model(kv_heads: int = 4):
     """Tiny model whose head counts divide a 4-way tp axis."""
     cfg = LlamaConfig(
         vocab_size=512,
@@ -34,7 +34,7 @@ def build_tp_model():
         intermediate_size=256,
         num_hidden_layers=2,
         num_attention_heads=8,
-        num_key_value_heads=4,
+        num_key_value_heads=kv_heads,
         head_dim=32,
         max_position_embeddings=2048,
         rope_theta=10000.0,
@@ -48,8 +48,10 @@ def build_tp_model():
     return model, params, ByteTokenizer(cfg.vocab_size)
 
 
-def make_service(tp: int, kv_cache_dtype=None, **sched_overrides) -> LlmService:
-    model, params, tokenizer = build_tp_model()
+def make_service(
+    tp: int, kv_cache_dtype=None, kv_heads: int = 4, **sched_overrides
+) -> LlmService:
+    model, params, tokenizer = build_tp_model(kv_heads)
     sched = dict(
         max_num_batched_tokens=512,
         max_num_sequences=16,
@@ -148,8 +150,25 @@ class TestServingTensorParallel:
             assert r1.outputs[0].token_ids == r4.outputs[0].token_ids
 
     def test_tp_rejects_bad_head_divisibility(self):
-        with pytest.raises(ValueError, match="not divisible"):
+        with pytest.raises(ValueError, match="incompatible"):
             make_service(tp=3)
+
+    def test_tp_wider_than_kv_heads_replicates(self):
+        """GQA with tp > kv_heads (the 70B-on-16-chips shape): each kv head
+        is replicated across tp//Hk shards (models/llama.py kv_repeat) and
+        outputs stay token-identical to single-device."""
+        base = asyncio.run(
+            generate_all(make_service(tp=1, kv_heads=2), PROMPTS[:2])
+        )
+        tp = asyncio.run(
+            generate_all(make_service(tp=4, kv_heads=2), PROMPTS[:2])
+        )
+        for r1, r4 in zip(base, tp):
+            assert r1.outputs[0].token_ids == r4.outputs[0].token_ids
+        # The replicated cache row dim is 2·(Hk·repeat)·D = 2·4·32.
+        svc = make_service(tp=4, kv_heads=2)
+        assert svc.engine.worker.cache_engine.kv_cache[0].shape[2] == 256
+        svc.stop()
 
     def test_worker_state_stays_sharded(self):
         """KV cache buffers must remain TP-sharded across steps (no silent
