@@ -15,6 +15,7 @@ HBM reads stay at 1 (or 0.5) bytes/weight.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -136,21 +137,24 @@ def quantized_matmul(x: jnp.ndarray, w: QuantizedTensor) -> jnp.ndarray:
     q = w.qweight
     in_dim_q = q.shape[-2] * (2 if w.bits == 4 else 1)
     group_size = w.group_size if in_dim_q % w.group_size == 0 else in_dim_q
-    if w.bits == 4:
-        N = q.shape[-1]
-        if (
-            jax.default_backend() == "tpu"
-            and q.ndim == 2
-            and x.ndim == 2
-            and in_dim_q % group_size == 0
-            and N % min(512, N) == 0
-            and group_size % 2 == 0
-        ):
-            from .quant_kernels import quantized_matmul_pallas
+    N = q.shape[-1]
+    kernel_ok = (
+        jax.default_backend() == "tpu"
+        and q.ndim == 2
+        and x.ndim == 2
+        and in_dim_q % group_size == 0
+        and N % min(512, N) == 0
+        and group_size % 2 == 0
+    )
+    if kernel_ok and (
+        w.bits == 4 or os.environ.get("ATOMA_INT8_MATMUL") == "pallas"
+    ):
+        from .quant_kernels import quantized_matmul_pallas
 
-            return quantized_matmul_pallas(
-                x, q, w.scales, bits=4, group_size=group_size
-            ).astype(x.dtype)
+        return quantized_matmul_pallas(
+            x, q, w.scales, bits=w.bits, group_size=group_size
+        ).astype(x.dtype)
+    if w.bits == 4:
         q = _unpack_int4(q, group_size)
     in_dim, out_dim = q.shape[-2:]
     num_groups = in_dim // group_size

@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
@@ -26,11 +28,24 @@ def main() -> None:
     from atoma_infer_tpu.ops.attention import AttentionMetadata
     from atoma_infer_tpu.ops.quant import QuantizedTensor
 
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--bits", type=int, default=8, choices=(4, 8),
+        help="weight quantization width (8 = north star, 4 = config #4 "
+        "weights; INT4 runs the Pallas bitcast-unpack kernel)",
+    )
+    parser.add_argument(
+        "--layers", type=int, default=32,
+        help="layer count override (layer-scaling cost attribution)",
+    )
+    args = parser.parse_args()
+    bits = args.bits
+
     cfg = LlamaConfig(
         vocab_size=128256,
         hidden_size=4096,
         intermediate_size=14336,
-        num_hidden_layers=32,
+        num_hidden_layers=args.layers,
         num_attention_heads=32,
         num_key_value_heads=8,
         head_dim=128,
@@ -44,13 +59,16 @@ def main() -> None:
 
     def rand_q(key, shape_in, shape_out):
         k1, _ = jax.random.split(jax.random.PRNGKey(key))
+        rows = shape_in // 2 if bits == 4 else shape_in
         qw = jax.random.randint(
-            k1, (L, shape_in, shape_out), -127, 127, jnp.int8
+            k1, (L, rows, shape_out), -127, 127, jnp.int8
         )
         scales = jnp.full(
             (L, shape_in // G, shape_out), 0.01, jnp.bfloat16
         )
-        return QuantizedTensor(qweight=qw, scales=scales, bits=8, group_size=G)
+        return QuantizedTensor(
+            qweight=qw, scales=scales, bits=bits, group_size=G
+        )
 
     params = {
         "embed": jax.random.normal(
@@ -152,7 +170,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_per_chip_llama8b_int8",
+                "metric": f"decode_tokens_per_sec_per_chip_llama8b_int{bits}",
                 "value": round(S * steps / dt, 1),
                 "unit": "tokens/s",
                 "vs_baseline": None,
