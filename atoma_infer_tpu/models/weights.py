@@ -152,7 +152,18 @@ def load_llama_params(
         "final_norm": jnp.asarray(top["final_norm"], dtype=dtype),
     }
     if "lm_head" in top:
-        params["lm_head"] = jnp.asarray(top["lm_head"], dtype=dtype)
+        if bits:
+            # The LM head is read whole every step (1GB bf16 at 8B): INT8
+            # with PER-CHANNEL scales (one group = the full contraction):
+            # the grouped XLA path would materialize a [S, groups, vocab]
+            # f32 partial (~800MB at 8B) — single-group degenerates to
+            # dot + column scale, which XLA fuses.
+            lm = jnp.asarray(top["lm_head"], jnp.float32)
+            params["lm_head"] = quantize_weight(
+                lm, 8, group_size=lm.shape[0]
+            )
+        else:
+            params["lm_head"] = jnp.asarray(top["lm_head"], dtype=dtype)
     elif not config.tie_word_embeddings:
         raise ValueError("checkpoint lacks lm_head but embeddings are not tied")
     return params

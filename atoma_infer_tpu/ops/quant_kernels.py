@@ -154,17 +154,26 @@ def quantized_matmul_pallas(
     *,
     bits: int,
     group_size: int = 128,
-    block_n: int = 512,
+    block_n: int = 2048,
     interpret: bool = False,
     block_m: int = 256,
 ) -> jnp.ndarray:
     M, K = x.shape
     N = qweight.shape[1]
-    groups_per_blk = 4 if K % (4 * group_size) == 0 else 1
+    # Big blocks: v5e executes the grid sequentially at ~0.6µs/step, so at
+    # [512, 512] blocks an 8B layer costs ~830 steps ≈ 500µs of pure grid
+    # overhead (measured by layer-count scaling). [1024, 2048] blocks cut
+    # the step count ~16× while staying well inside VMEM.
+    for gpb in (8, 4, 1):
+        if K % (gpb * group_size) == 0:
+            groups_per_blk = gpb
+            break
     BK = group_size * groups_per_blk
     n_k = K // BK
     n_groups = K // group_size
     BN = min(block_n, N)
+    while N % BN:
+        BN //= 2
     assert N % BN == 0 and K % BK == 0
     assert scales.shape == (n_groups, N), (scales.shape, (n_groups, N))
 

@@ -25,8 +25,18 @@ import numpy as np
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--block-size", type=int, default=32,
+        help="KV page size in tokens (bigger pages → fewer per-page DMA "
+        "descriptors per attention entry; more internal fragmentation)",
+    )
+    args = parser.parse_args()
 
     from atoma_infer_tpu.models.llama import Llama, LlamaConfig
     from atoma_infer_tpu.ops.attention import AttentionMetadata
@@ -63,7 +73,7 @@ def main() -> None:
     params = model.init_params(jax.random.PRNGKey(0))
 
     S = 64                      # decode batch (sequences)
-    block_size = 32
+    block_size = args.block_size
     ctx = 512                   # starting context per sequence
     steps = 128 if on_tpu else 4
     pages_per_seq = (ctx + steps) // block_size + 1

@@ -38,6 +38,11 @@ def main() -> None:
         "--layers", type=int, default=32,
         help="layer count override (layer-scaling cost attribution)",
     )
+    parser.add_argument(
+        "--seqs", type=int, default=48,
+        help="decode batch size (weights are read once per step, so "
+        "throughput scales with batch until KV/attention dominate)",
+    )
     args = parser.parse_args()
     bits = args.bits
 
@@ -87,15 +92,22 @@ def main() -> None:
             "down_proj": rand_q(7, I, H),
         },
         "final_norm": jnp.ones((H,), jnp.bfloat16),
-        "lm_head": jax.random.normal(
-            jax.random.PRNGKey(8), (H, cfg.vocab_size), jnp.bfloat16
-        )
-        * 0.01,
+        # LM head INT8 with per-channel scales (single group — see
+        # weights.py loader note on grouped-partial materialization).
+        "lm_head": QuantizedTensor(
+            qweight=jax.random.randint(
+                jax.random.PRNGKey(8), (H, cfg.vocab_size), -127, 127,
+                jnp.int8,
+            ),
+            scales=jnp.full((1, cfg.vocab_size), 0.0001, jnp.bfloat16),
+            bits=8,
+            group_size=H,
+        ),
     }
 
-    # 48 sequences: int8 weights (~8GB) + bf16 embed/lm_head (~2GB) + KV
-    # must fit 15.75GB HBM.
-    S = 48
+    # Default 48 sequences: int8 weights (~8GB) + bf16 embed + int8 lm_head
+    # + KV must fit 15.75GB HBM (96 fits comfortably with int8 KV).
+    S = args.seqs
     block_size = 32
     ctx = 512
     steps = 32
