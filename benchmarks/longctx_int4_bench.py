@@ -139,7 +139,9 @@ async def run(args) -> dict:
         # overflow the pool during decode → forced preempt-by-swap of a
         # short group (device→host over the tunnel) and swap-in after the
         # long request completes.
-        device_blocks, host_blocks = 1360, 512
+        # 1025 (long) + 2×128 (short prompts) = 1281 admitted; ~9 free vs
+        # ~32 blocks of best_of decode growth → forced preempt-by-swap.
+        device_blocks, host_blocks = 1290, 512
         short_tokens, long_tokens = 256, 32
 
     config = EngineConfig(

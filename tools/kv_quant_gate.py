@@ -148,20 +148,28 @@ def main() -> None:
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return tok, logprobs, kv_cache, kv_scales
 
-    def rollout(kv_cache, kv_scales, quant):
+    def rollout(kv_cache, kv_scales, quant, forced=None):
+        """Decode ``steps`` tokens. With ``forced`` (the bf16 run's input
+        stream) the rollout is TEACHER-FORCED: both runs see identical
+        contexts every step, so Δlogprob isolates quantization numerics —
+        free-running comparison is meaningless after the first legitimate
+        argmax flip (contexts diverge)."""
         toks = jnp.zeros((S,), jnp.int32)
-        all_toks, all_lps = [], []
+        inputs, all_toks, all_lps = [], [], []
         for i in range(steps):
+            if forced is not None:
+                toks = jnp.asarray(forced[i])
+            inputs.append(np.asarray(toks))
             pos, slots, sl = meta_for(i)
             toks, lps, kv_cache, kv_scales = step(
                 params, kv_cache, kv_scales, toks, pos, slots, sl, quant
             )
             all_toks.append(np.asarray(toks))
             all_lps.append(np.asarray(lps))
-        return np.stack(all_toks), np.stack(all_lps)  # [steps, S], [steps,S,V]
+        return np.stack(inputs), np.stack(all_toks), np.stack(all_lps)
 
-    toks_b, lps_b = rollout(kv_bf16, None, False)
-    toks_q, lps_q = rollout(kv_int8, kv_sc, True)
+    inputs_b, toks_b, lps_b = rollout(kv_bf16, None, False)
+    _, toks_q, lps_q = rollout(kv_int8, kv_sc, True, forced=inputs_b)
 
     # Δ logprob of the bf16-chosen token under each run.
     st, sq = np.arange(steps)[:, None], np.arange(S)[None, :]
