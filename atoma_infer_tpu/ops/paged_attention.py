@@ -539,16 +539,23 @@ def _paged_attention_call(
     quant = kv_scales is not None
     wbs = WB_SUB_I8 if kv_cache.dtype == jnp.int8 else WB_SUB
     BQ = block_q or _pick_block_q(T, S)
-    # Narrow (decode) blocks leave scratch headroom for 512-row chunks; wide
-    # prefill blocks halve the chunk to stay under the 16MB scoped-VMEM cap.
-    chunk_rows = 512 if BQ <= 16 else 256
-    CP = pages_per_chunk or max(1, chunk_rows // bs)
+    # Narrow (decode) blocks take the largest chunk the VMEM ring budget
+    # allows, up to 1024 rows (multi-chunk decode at ctx 2k-8k measured ~7×
+    # off roofline with 512-row chunks — per-chunk fixed costs dominate).
+    # The budget keeps ring + q/o/staging under Mosaic's 16MB scoped-VMEM
+    # cap across row widths (8B bf16 rows are 4KB; a fixed 1024-row chunk
+    # put the 4-slot ring alone at 16MB and failed to compile).
+    itemsize = jnp.dtype(kv_cache.dtype).itemsize
+    row_bytes = row * itemsize + (256 if quant else 0)  # + scale-page share
+    ring_budget = 10 * 1024 * 1024
+    cp_budget = max(1, ring_budget // (RING_BUFFERS * bs * row_bytes))
+    max_chunk_rows = 1024 if BQ <= 16 else 256
+    CP = pages_per_chunk or max(1, min(max_chunk_rows // bs, cp_budget))
     CP = min(CP, P)
     # Single-chunk mode: when the whole (bucketed) block table fits one
     # chunk within the VMEM ring budget, each entry is exactly one chunk and
     # the ring prefetches RING_BUFFERS−1 entries ahead — decode is
     # inter-entry-latency-bound, not intra-entry.
-    itemsize = jnp.dtype(kv_cache.dtype).itemsize
     chunk_bytes = P * bs * row * itemsize
     if quant:
         # One bf16 lane tile of scale page per cache page rides along.
