@@ -129,20 +129,23 @@ async def run(args) -> dict:
         # recompute — ref scheduler.rs:1778-1826) and swap it back later.
         device_blocks, host_blocks = 74, 64
         block_size, max_model_len = 16, 2048
-        short_tokens, long_tokens = 48, 8
+        short_tokens, long_tokens, n_short = 48, 8, 2
     else:
-        prompt_len, short_len, chunk = 32768, 4096, 2048
+        prompt_len, short_len, chunk = 32768, 2048, 2048
         block_size, max_model_len = 32, 33792
-        # One 32k seq = 1024 blocks (4MB/block at 8B shapes, ~4GB). The
-        # long request is admitted first (needs the pool nearly to itself);
-        # two best_of=2 4k requests (128-block shared prompts + tails) then
-        # overflow the pool during decode → forced preempt-by-swap of a
-        # short group (device→host over the tunnel) and swap-in after the
-        # long request completes.
-        # 1025 (long) + 2×128 (short prompts) = 1281 admitted; ~9 free vs
-        # ~32 blocks of best_of decode growth → forced preempt-by-swap.
-        device_blocks, host_blocks = 1290, 512
-        short_tokens, long_tokens = 256, 32
+        # One 32k seq = 1025 blocks (4MB/block at 8B shapes, ~4GB). The
+        # admission watermark (1% ≈ 13 blocks) guarantees every admitted
+        # group lands with ≥13 free, so pressure must come from DECODE
+        # GROWTH of the admitted set: long (1025, decoding 256 tokens so it
+        # stays resident) + three best_of=2 2k-prompt groups (64 shared
+        # blocks each) admit with 23 free; their 6 tails grow ~0.19
+        # blocks/step and exhaust the allocator after ~120 decode steps —
+        # well inside the long request's 256-step residency → forced
+        # preempt-by-swap of the youngest group (device→host over the
+        # tunnel) and swap-in later. (Growth is a RATE: at a 1290 pool the
+        # long request finished before ~390 steps of growth ran dry.)
+        device_blocks, host_blocks = 1240, 512
+        short_tokens, long_tokens, n_short = 512, 256, 3
 
     config = EngineConfig(
         model=ModelConfig(model_name="injected", quantization="int4"),
@@ -180,11 +183,14 @@ async def run(args) -> dict:
 
     cache_engine.execute = counting_execute
 
-    # Warm up compiles (prefill chunk + decode programs) with a short run.
+    # Warm up compiles with a FULL-LENGTH prompt: every chunked-prefill and
+    # decode bucket the measured request will hit compiles here, so the
+    # measured TTFT is the steady-state number, not first-compile latency
+    # (remote compiles are minutes per program shape).
     warm = await service.handle_request(
         GenerateRequest(
             request_id="warmup",
-            inputs="w" * chunk,
+            inputs="w" * prompt_len,
             parameters=GenerateParameters(max_new_tokens=4),
         )
     )
@@ -217,7 +223,7 @@ async def run(args) -> dict:
                 ),
             )
         )
-        for i in range(2)
+        for i in range(n_short)
     ]
     long_res, *short_res = await asyncio.gather(long_fut, *short_futs)
     wall = time.monotonic() - t0
@@ -230,7 +236,7 @@ async def run(args) -> dict:
     ttft_long = (
         long_res.metrics.first_token_time - long_res.metrics.arrival_time
     )
-    decode_tokens = long_tokens + 2 * short_tokens
+    decode_tokens = long_tokens + n_short * short_tokens
     block_bytes = config.cache.block_bytes(
         model.config.num_layers,
         model.config.num_kv_heads,
