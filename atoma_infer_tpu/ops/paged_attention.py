@@ -204,7 +204,11 @@ def _kernel(
             wb_flag[slot] = 0
 
     def start_chunk(seq, slot, chunk):
-        maybe_wait_wb(slot)
+        # Plain per-page descriptors. A 4-page run-coalescing variant was
+        # measured on hardware and REVERTED: the contiguity scalar checks +
+        # branches cost as much as the saved descriptor issues (permuted
+        # tables regressed 5-17%, contiguous gained nothing) — per-entry
+        # fixed cost is not descriptor issue.
         for p in range(CP):
             idx = jnp.minimum(chunk * CP + p, num_pages - 1)
             page = jnp.clip(block_tables_ref[seq, idx], 0, max_page)

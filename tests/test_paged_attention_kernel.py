@@ -197,6 +197,30 @@ class TestPagedAttentionKernel:
         got, want = run_both(q, kv, meta, block_q=64, pages_per_chunk=2)
         assert_close(got, want, meta.query_start_loc)
 
+    def test_contiguous_pages_coalesced_dma(self):
+        """Physically CONTIGUOUS block tables take the 4-page coalesced DMA
+        branch (random tables take singles); numerics must be identical."""
+        rng = np.random.default_rng(13)
+        q, kv, meta = make_case(
+            rng,
+            seq_specs=[(1, 200), (1, 127), (8, 96)],
+            num_blocks=64,
+            block_size=16,
+            pad_tokens_to=8,
+        )
+        # Overwrite with sequential page ids per sequence.
+        bt = np.zeros_like(np.asarray(meta.block_tables))
+        start = 1
+        for i, kv_len in enumerate((200, 127, 96)):
+            n = -(-kv_len // 16)
+            bt[i, :n] = np.arange(start, start + n)
+            start += n
+        import dataclasses
+
+        meta = dataclasses.replace(meta, block_tables=jnp.asarray(bt))
+        got, want = run_both(q, kv, meta, pages_per_chunk=8)
+        assert_close(got, want, meta.query_start_loc)
+
     def test_padding_seqs_ignored(self):
         rng = np.random.default_rng(8)
         q, kv, meta = make_case(

@@ -39,6 +39,12 @@ def main() -> None:
     )
     parser.add_argument("--inner-steps", type=int, default=8)
     parser.add_argument("--outer-steps", type=int, default=8)
+    parser.add_argument(
+        "--contiguous", action="store_true",
+        help="sequential physical pages per sequence (the common allocator "
+        "pattern) — exercises the kernel's 4-page coalesced DMA branch; "
+        "default is a random permutation (worst case, single-page DMAs)",
+    )
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -68,8 +74,11 @@ def main() -> None:
     kv0 = jnp.asarray(
         rng.standard_normal((num_blocks, bs, row)), jnp.bfloat16
     )
-    perm = rng.permutation(num_blocks - 1)[: S * P] + 1
-    tables = jnp.asarray(perm.reshape(S, P), dtype=jnp.int32)
+    if args.contiguous:
+        ids = np.arange(1, S * P + 1)
+    else:
+        ids = rng.permutation(num_blocks - 1)[: S * P] + 1
+    tables = jnp.asarray(ids.reshape(S, P), dtype=jnp.int32)
     qsl = jnp.arange(S + 1, dtype=jnp.int32)
     num_seqs = jnp.asarray(S, jnp.int32)
 
