@@ -144,14 +144,16 @@ class CacheConfig:
         num_kv_heads: int,
         head_dim: int,
         kv_dtype_size: int,
+        scale_pages: Optional[bool] = None,
     ) -> int:
         """Bytes of one KV block across all layers: K+V (ref: config.rs:708-718).
 
-        INT8 KV (1-byte kv dtype) additionally carries one bf16 scale page
-        per block per layer ([block_size, 128] — the minimum lane-aligned
-        DMA-able layout, see ops/kv_cache.py SCALE_LANES)."""
+        INT8 KV additionally carries one bf16 scale page per block per layer
+        ([block_size, 128] — the minimum lane-aligned DMA-able layout, see
+        ops/kv_cache.py SCALE_LANES). ``scale_pages`` defaults to "any 1-byte
+        kv dtype" (FP8 callers pass False — e4m3 stores scale-free)."""
         kv = 2 * self.block_size * num_layers * num_kv_heads * head_dim * kv_dtype_size
-        if kv_dtype_size == 1:
+        if scale_pages if scale_pages is not None else kv_dtype_size == 1:
             kv += self.block_size * 128 * 2 * num_layers
         return kv
 

@@ -90,10 +90,14 @@ class CacheEngine:
             else None
         )
         # Host swap tier (ref: worker.rs cpu_cache); numpy, paged identically.
+        # The host dtype MATCHES the device dtype (ml_dtypes covers bf16 and
+        # fp8) so a swap round trip is bit-exact — a float16 host tier would
+        # silently round bf16 values and overflow past 65504.
         host_dtype = (
             np.int8 if dtype == jnp.int8
             else np.float32 if dtype == jnp.float32
-            else np.float16
+            else ml_dtypes.float8_e4m3fn if dtype == jnp.float8_e4m3fn
+            else ml_dtypes.bfloat16
         )
         self.host_cache = np.zeros(
             (num_layers, num_host_blocks, block_size, row),

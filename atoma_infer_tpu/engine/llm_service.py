@@ -204,7 +204,12 @@ class LlmService:
         )
 
         kv_dtype = (
-            jnp.int8 if config.model.kv_cache_dtype == "int8" else model.dtype
+            jnp.int8 if config.model.kv_cache_dtype == "int8"
+            # FP8 KV stores e4m3 without scale pages (XLA attention path —
+            # Mosaic has no fp8 vector ops on v5e; int8-with-scales is the
+            # fused-kernel option at the same footprint).
+            else jnp.float8_e4m3fn if config.model.kv_cache_dtype == "fp8"
+            else model.dtype
         )
         cache_engine = CacheEngine(
             num_layers=cfg.num_layers,

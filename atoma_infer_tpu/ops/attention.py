@@ -112,6 +112,9 @@ def _pallas_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
         and row % 128 == 0
         and meta.block_size % min_bs == 0
         and T % 8 == 0
+        # Mosaic has no fp8 vector ops on v5e — fp8 caches take the XLA
+        # path (int8-with-scales is the fused-kernel option).
+        and kv_cache.dtype in (jnp.bfloat16, jnp.float32, jnp.int8)
     )
 
 

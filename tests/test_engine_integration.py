@@ -273,6 +273,11 @@ class TestInt8KvService:
         assert len(quant) >= 1
         # Greedy paths agree at least initially (tiny random model, fp32).
         assert dense[0] == quant[0]
+        # FP8 KV (e4m3, scale-free, XLA attention path) serves end-to-end
+        # with the same initial greedy agreement.
+        fp8 = run("fp8")
+        assert len(fp8) >= 1
+        assert dense[0] == fp8[0]
 
 
 class TestLongContextPressure:
