@@ -145,6 +145,7 @@ def _kernel(
     quant: bool,
     alibi: bool,
     wb_sub: int,
+    qo_vmem: bool,
 ):
     e = pl.program_id(0)
     W = pl.num_programs(0)
@@ -204,6 +205,10 @@ def _kernel(
             wb_flag[slot] = 0
 
     def start_chunk(seq, slot, chunk):
+        # Drain any write-back still reading this slot before overwriting it
+        # (dropped by mistake in the coalescing revert; the race window is
+        # small — WB starts a grid step earlier — but unguaranteed).
+        maybe_wait_wb(slot)
         # Plain per-page descriptors. A 4-page run-coalescing variant was
         # measured on hardware and REVERTED: the contiguity scalar checks +
         # branches cost as much as the saved descriptor issues (permuted
@@ -252,8 +257,18 @@ def _kernel(
 
         @pl.when((eidx < W) & (s_i >= 0))
         def _():
-            q_dma(eidx_c, q_slot(eidx_c)).start()
+            if not qo_vmem:
+                q_dma(eidx_c, q_slot(eidx_c)).start()
             start_chunk(jnp.maximum(s_i, 0), kv_slot(eidx_c, 0), 0)
+
+    def load_q(eidx):
+        """This entry's [G·BQ, Hk·D] query window. VMEM-resident q (small
+        decode batches) reads it directly; otherwise waits on the manual
+        per-entry DMA started by issue_entry."""
+        if qo_vmem:
+            return q_hbm[eidx]
+        q_dma(eidx, q_slot(eidx)).wait()
+        return q_vmem[q_slot(eidx)]
 
     def patch_and_writeback(slot, j):
         """Fused KV write: patch this entry's newly written row (position
@@ -404,6 +419,15 @@ def _kernel(
         return tuple(new_carry)
 
     def finalize(carry):
+        if qo_vmem:
+            # VMEM-resident output: per-head stores at a dynamic entry row —
+            # no per-entry DMA, no synchronous wait (Pallas writes the whole
+            # array back once after the last grid step).
+            for h in range(Hk):
+                _, l, acc = carry[h]
+                out_h = acc / jnp.maximum(l, 1e-30)  # [G·BQ, D]
+                o_hbm[e, :, h * D : (h + 1) * D] = out_h.astype(o_hbm.dtype)
+            return
         for h in range(Hk):
             _, l, acc = carry[h]
             out_h = acc / jnp.maximum(l, 1e-30)  # [G·BQ, D]
@@ -447,8 +471,7 @@ def _kernel(
         def _():
             issue_entry(e + NB - 1)
             slot = kv_slot(e, 0)
-            q_dma(e, q_slot(e)).wait()
-            q_all = q_vmem[q_slot(e)]
+            q_all = load_q(e)
             wait_chunk(slot)
             if fuse_write:
                 patch_and_writeback(slot, 0)
@@ -471,10 +494,9 @@ def _kernel(
             # (limit == kv_len).
             limit = jnp.minimum(kv_len, kv_len - q_len + (b + 1) * BQ)
             nc = pl.cdiv(limit, CHUNK)
-            q_dma(e, q_slot(e)).wait()
             # Per-kv-head query groups are VALUE lane slices of the
             # prearranged [G·BQ, Hk·D] window — no staging.
-            q_all = q_vmem[q_slot(e)]
+            q_all = load_q(e)
 
             def chunk_body(j, carry):
                 @pl.when(j + 1 < nc)
@@ -571,7 +593,17 @@ def _paged_attention_call(
     )
     if single_chunk:
         CP = P
-    W = T // BQ + S  # worst-case (seq, q_block) entries
+    # Decode-only batches have exactly one entry per active sequence, so the
+    # work list is S entries exactly; the general worst case pads to 1.5·S
+    # grid steps of pure overhead at BQ=2.
+    W = S if meta.decode_only else T // BQ + S
+    # VMEM-resident q/o: for small decode batches the whole entry-major q
+    # and output arrays live in VMEM for the kernel's duration — no
+    # per-entry q DMA wait, no synchronous per-entry output DMA (measured
+    # ~1µs/entry on v5e). Budget: ring (≤8MB in single-chunk mode) + q + o
+    # must stay within Mosaic's ~16MB scoped VMEM.
+    qo_bytes = W * G * BQ * Hk * D * q.dtype.itemsize
+    qo_vmem = single_chunk and 2 * qo_bytes <= 4 * 1024 * 1024
 
     fuse_write = kvn is not None
     assert not (fuse_write and quant and scn is None)
@@ -629,7 +661,9 @@ def _paged_attention_call(
         num_scalar_prefetch=5,
         grid=(W,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # q entries
+            pl.BlockSpec(
+                memory_space=pltpu.VMEM if qo_vmem else pl.ANY
+            ),                                      # q entries
             pl.BlockSpec(memory_space=pltpu.VMEM),  # staged new rows
             pl.BlockSpec(memory_space=pltpu.VMEM),  # staged new-row scales
             pl.BlockSpec(memory_space=pl.ANY),      # fused kv cache
@@ -637,7 +671,9 @@ def _paged_attention_call(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # alibi slope matrix
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),      # o entries
+            pl.BlockSpec(
+                memory_space=pltpu.VMEM if qo_vmem else pl.ANY
+            ),                                      # o entries
             pl.BlockSpec(memory_space=pl.ANY),      # cache (aliased)
             pl.BlockSpec(memory_space=pl.ANY),      # scales (aliased)
         ),
@@ -674,6 +710,7 @@ def _paged_attention_call(
         quant=quant,
         alibi=alibi,
         wb_sub=wbs,
+        qo_vmem=qo_vmem,
     )
 
     out_gm, new_cache, new_scales = pl.pallas_call(
