@@ -43,6 +43,12 @@ class ModelConfig:
     # (config.rs device_ids) with a mesh shape over jax.devices().
     num_devices: Optional[int] = None  # None = all local devices
     tensor_parallel_size: int = 1
+    # Pipeline parallelism (beyond the reference, SURVEY.md §2.6): layers
+    # split into contiguous stages, each tensor-parallel over its own
+    # tp-mesh; the engine pipelines per-cohort steps across stages
+    # (parallel/pipeline.py, engine/pp_worker.py). Total devices used =
+    # pipeline_parallel_size × tensor_parallel_size.
+    pipeline_parallel_size: int = 1
     # Multi-host serving (BASELINE config #5): join a cross-host
     # jax.distributed runtime before any device enumeration; the mesh then
     # spans all hosts' chips and the scheduler is replicated per host
@@ -63,6 +69,8 @@ class ModelConfig:
             raise ValueError(f"unsupported quantization {self.quantization!r}")
         if self.kv_cache_dtype not in (None, "int8", "fp8"):
             raise ValueError(f"unsupported kv_cache_dtype {self.kv_cache_dtype!r}")
+        if self.pipeline_parallel_size < 1:
+            raise ValueError("pipeline_parallel_size must be >= 1")
 
     @property
     def dtype_size(self) -> int:

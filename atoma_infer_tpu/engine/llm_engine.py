@@ -91,8 +91,18 @@ class LlmEngine:
         tokenizer,
         eos_token_ids,
         max_model_len: int,
+        extra_schedulers=(),
     ):
         self.scheduler = scheduler
+        # Pipeline-parallel serving: one scheduler per cohort (all sharing
+        # one block manager). Requests are assigned to the least-loaded
+        # cohort at admission; step() keeps one dispatched model step per
+        # cohort in flight so pipeline stages overlap across cohorts
+        # (engine/pp_worker.py).
+        self.schedulers = [scheduler, *extra_schedulers]
+        self._next_cohort = 0
+        # In-flight pipelined steps: (cohort, metadata, PendingStep).
+        self._pending = []
         self.worker = worker
         self.detokenizer = Detokenizer(tokenizer)
         self.eos_token_ids = set(
@@ -124,6 +134,14 @@ class LlmEngine:
         if stream_queue is not None:
             self._stream_queues[group.request_id] = stream_queue
             group.stream = True
+        if len(self.schedulers) > 1:
+            # Cohort assignment: least-loaded scheduler (ties → lowest id).
+            group.cohort = min(
+                range(len(self.schedulers)),
+                key=lambda k: self.schedulers[
+                    k
+                ].get_num_unfinished_seq_groups(),
+            )
         self._new_requests.put_nowait(group)
 
     def abort_request(self, request_id: str) -> bool:
@@ -150,9 +168,11 @@ class LlmEngine:
                 request_id = self._pending_aborts.get_nowait()
             except queue.Empty:
                 return
-            group = self.scheduler.abort_sequence_group(request_id)
-            if group is not None:
-                self._finish_group(group)
+            for scheduler in self.schedulers:
+                group = scheduler.abort_sequence_group(request_id)
+                if group is not None:
+                    self._finish_group(group)
+                    break
 
     # ------------------------------------------------------------------- loop
     async def run(self) -> None:
@@ -160,11 +180,11 @@ class LlmEngine:
         loop = asyncio.get_running_loop()
         self._loop = loop
         while not self._stopping:
-            if not self.scheduler.has_unfinished_seqs():
+            if not self._has_unfinished():
                 group = await self._new_requests.get()
                 if group is None:  # shutdown sentinel
                     break
-                self.scheduler.add_sequence_group(group)
+                self._scheduler_for(group).add_sequence_group(group)
                 # Batching delay: let more requests arrive (ref :121-124).
                 await asyncio.sleep(IDLE_BATCHING_DELAY_S)
             self._drain_new_requests()
@@ -181,6 +201,14 @@ class LlmEngine:
         self._stopping = True
         self._new_requests.put_nowait(None)
 
+    def _has_unfinished(self) -> bool:
+        return bool(self._pending) or any(
+            s.has_unfinished_seqs() for s in self.schedulers
+        )
+
+    def _scheduler_for(self, group: SequenceGroup):
+        return self.schedulers[getattr(group, "cohort", 0)]
+
     def _drain_new_requests(self) -> None:
         while True:
             try:
@@ -188,12 +216,14 @@ class LlmEngine:
             except asyncio.QueueEmpty:
                 return
             if group is not None:
-                self.scheduler.add_sequence_group(group)
+                self._scheduler_for(group).add_sequence_group(group)
 
     # ------------------------------------------------------------------- step
     @instrument("engine.step")
     def step(self) -> List[GenerateRequestOutput]:
         """One engine iteration (ref: llm_engine.rs:216-245)."""
+        if len(self.schedulers) > 1:
+            return self._step_pipelined()
         self._drain_aborts()
         metadata, outputs = self.scheduler.schedule()
         for group in outputs.ignored_seq_groups:
@@ -214,14 +244,68 @@ class LlmEngine:
         metrics.RUNNING_SEQS.set(len(self.scheduler.running))
         return finished
 
+    def _step_pipelined(self) -> List[GenerateRequestOutput]:
+        """One pipelined engine iteration: complete the active cohort's
+        previous step (its tokens gate its next schedule), then schedule +
+        dispatch its next step — leaving the OTHER cohorts' steps in flight,
+        which is what keeps every pipeline stage busy (engine/pp_worker.py).
+        """
+        self._drain_aborts()
+        k = self._next_cohort
+        self._next_cohort = (k + 1) % len(self.schedulers)
+        scheduler = self.schedulers[k]
+
+        finished: List[GenerateRequestOutput] = []
+        # Data dependency: cohort k's next schedule needs its last tokens.
+        for i, (cohort, _, _) in enumerate(self._pending):
+            if cohort == k:
+                finished.extend(self._complete_pending(i))
+                break
+
+        metadata, outputs = scheduler.schedule()
+        for group in outputs.ignored_seq_groups:
+            self._finish_group(group)
+        if metadata or not outputs.is_empty():
+            request = ExecuteModelRequest(
+                sequence_groups_metadata=metadata,
+                blocks_to_swap_in=outputs.blocks_to_swap_in,
+                blocks_to_swap_out=outputs.blocks_to_swap_out,
+                blocks_to_copy=outputs.blocks_to_copy,
+                running_queue_size=outputs.running_queue_size,
+            )
+            pending = self.worker.dispatch(request)
+            if pending is not None:
+                self._pending.append((k, metadata, pending))
+        elif not scheduler.has_unfinished_seqs() and self._pending:
+            # This cohort is idle; drain the oldest in-flight step so other
+            # cohorts keep making progress even when the rotation stalls.
+            finished.extend(self._complete_pending(0))
+
+        metrics.RUNNING_SEQS.set(
+            sum(len(s.running) for s in self.schedulers)
+        )
+        return finished
+
+    def _complete_pending(self, index: int) -> List[GenerateRequestOutput]:
+        cohort, metadata, pending = self._pending.pop(index)
+        scheduler = self.schedulers[cohort]
+        group_outputs = pending.complete()
+        finished = self._process_outputs(
+            metadata, group_outputs, scheduler=scheduler
+        )
+        scheduler.remove_finished_sequences()
+        return finished
+
     # ---------------------------------------------------------------- outputs
     def _process_outputs(
         self,
         metadata_list,
         group_outputs: Dict[str, SequenceGroupOutput],
+        scheduler=None,
     ) -> List[GenerateRequestOutput]:
         """Update sequences with sampled tokens; detokenize; stop-check; emit
         stream chunks + finished responses (ref: llm_engine.rs:264-521)."""
+        scheduler = scheduler or self.scheduler
         now = time.monotonic()
         finished: List[GenerateRequestOutput] = []
         for meta in metadata_list:
@@ -243,14 +327,17 @@ class LlmEngine:
                 seq = group.sequences.get(seq_id)
                 if seq is None or seq.is_finished():
                     continue
-                self._update_sequence(group, seq, seq_out)
+                self._update_sequence(group, seq, seq_out, scheduler)
 
             if group.is_finished():
                 finished.append(self._finish_group(group))
         return finished
 
-    def _update_sequence(self, group: SequenceGroup, seq: Sequence, seq_out) -> None:
+    def _update_sequence(
+        self, group: SequenceGroup, seq: Sequence, seq_out, scheduler=None
+    ) -> None:
         """Append token, detokenize, stop checks (ref: llm_engine.rs:367-521)."""
+        scheduler = scheduler or self.scheduler
         seq.append_token_id(seq_out.output_token, seq_out.logprob)
         if seq_out.top_tokens is not None:
             seq.output_logprobs[-1].top_tokens = seq_out.top_tokens
@@ -292,7 +379,7 @@ class LlmEngine:
                 finish_reason = "model_length"
 
         if seq.is_finished():
-            self.scheduler.free_seq(seq)
+            scheduler.free_seq(seq)
 
         queue = self._stream_queues.get(group.request_id)
         if queue is not None:

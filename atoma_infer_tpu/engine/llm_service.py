@@ -155,8 +155,13 @@ class LlmService:
         # (ref: model_executor.rs:394-545 NCCL dispatcher + llama_nccl.rs
         # sharded load — here one SPMD program over a jax mesh).
         tp = config.model.tensor_parallel_size or 1
+        pp = config.model.pipeline_parallel_size or 1
         mesh = None
         kv_sharding = None
+        if pp > 1:
+            return cls._start_pipelined(
+                config, model, params, tokenizer, tp, pp, t0
+            )
         if tp > 1:
             from ..parallel import (
                 kv_cache_layer_sharding,
@@ -224,28 +229,7 @@ class LlmService:
         worker = ModelWorker(
             model, params, cache_engine, config.scheduler, config.cache
         )
-        block_manager = None
-        if config.scheduler.use_native_core and config.cache.enable_prefix_caching:
-            logger.info(
-                "prefix caching enabled — using the Python block manager "
-                "(the native core does not implement content-hash caching)"
-            )
-        elif config.scheduler.use_native_core:
-            try:
-                from ..native.block_manager import NativeBlockSpaceManager
-
-                block_manager = NativeBlockSpaceManager(
-                    block_size=config.cache.block_size,
-                    num_device_blocks=config.cache.num_device_blocks or 0,
-                    num_host_blocks=config.cache.num_host_blocks or 0,
-                    sliding_window=config.cache.sliding_window,
-                )
-                logger.info("using native (C++) block-manager core")
-            except Exception as e:
-                logger.warning(
-                    "native core unavailable (%s); using Python block manager",
-                    e,
-                )
+        block_manager = cls._build_block_manager(config)
         scheduler = Scheduler(
             config.scheduler, config.cache, block_manager=block_manager
         )
@@ -268,6 +252,148 @@ class LlmService:
             config.cache.block_size,
             cfg.eos_token_ids,
         )
+
+    @classmethod
+    def _start_pipelined(
+        cls, config: EngineConfig, model, params, tokenizer, tp: int, pp: int, t0
+    ) -> "LlmService":
+        """Pipeline-parallel startup: split layers into ``pp`` stages, each
+        tensor-parallel over its own tp-mesh; one scheduler per cohort
+        sharing a single block pool (parallel/pipeline.py docstring for the
+        execution model — beyond the reference, which is TP-only,
+        SURVEY.md §2.6)."""
+        from ..parallel.pipeline import (
+            make_stage_meshes,
+            shard_stage_params,
+            split_params,
+            stage_layer_bounds,
+        )
+        from ..parallel import kv_cache_layer_sharding
+        from .pp_worker import PipelinedModelWorker
+
+        cfg = model.config
+        if cfg.num_attention_heads % tp or (
+            cfg.num_kv_heads % tp and tp % cfg.num_kv_heads
+        ):
+            raise ValueError(
+                f"head counts (q={cfg.num_attention_heads}, "
+                f"kv={cfg.num_kv_heads}) incompatible with "
+                f"tensor_parallel_size {tp}"
+            )
+        if pp > cfg.num_layers:
+            raise ValueError(
+                f"pipeline_parallel_size {pp} > num_layers {cfg.num_layers}"
+            )
+        devices = jax.devices()
+        if config.model.num_devices:
+            devices = devices[: config.model.num_devices]
+        stage_meshes = make_stage_meshes(pp, tp, devices)
+        bounds = stage_layer_bounds(cfg.num_layers, pp)
+        stage_params = shard_stage_params(split_params(params, pp), stage_meshes)
+        if tp > 1:
+            # kv_repeat/effective_kv_heads read the (uniform) stage tp width.
+            model.mesh = stage_meshes[0]
+        logger.info(
+            "pipeline parallelism: %d stages × tp=%d (layer bounds %s)",
+            pp, tp, bounds,
+        )
+
+        # Per-device HBM holds only its stage's layers — profile with the
+        # largest stage so every stage fits the same global block pool.
+        eff_kv_heads = getattr(model, "effective_kv_heads", cfg.num_kv_heads)
+        max_stage_layers = max(hi - lo for lo, hi in bounds)
+        config.cache.profile(
+            max_stage_layers,
+            eff_kv_heads,
+            cfg.head_dim,
+            config.model.kv_dtype_size,
+        )
+
+        kv_dtype = (
+            jnp.int8 if config.model.kv_cache_dtype == "int8"
+            else jnp.float8_e4m3fn if config.model.kv_cache_dtype == "fp8"
+            else model.dtype
+        )
+        cache_engines = [
+            CacheEngine(
+                num_layers=hi - lo,
+                num_kv_heads=eff_kv_heads,
+                head_dim=cfg.head_dim,
+                block_size=config.cache.block_size,
+                num_device_blocks=config.cache.num_device_blocks,
+                num_host_blocks=config.cache.num_host_blocks or 0,
+                dtype=kv_dtype,
+                sharding=kv_cache_layer_sharding(stage_meshes[s]),
+            )
+            for s, (lo, hi) in enumerate(bounds)
+        ]
+        worker = PipelinedModelWorker(
+            model,
+            stage_params,
+            cache_engines,
+            config.scheduler,
+            config.cache,
+            stage_meshes,
+        )
+        # One scheduler per cohort over ONE shared block pool: block ids are
+        # global (each stage's cache engine holds the same pool for its
+        # layers), so cohorts allocate from a single manager.
+        block_manager = cls._build_block_manager(config)
+        schedulers = [
+            Scheduler(
+                config.scheduler, config.cache, block_manager=block_manager
+            )
+            for _ in range(pp)
+        ]
+        tokenizer_pool = TokenizerPool(
+            tokenizer, config.model.num_tokenizer_workers
+        )
+        validation = Validation(config.validation, tokenizer_pool)
+        engine = LlmEngine(
+            schedulers[0],
+            worker,
+            tokenizer,
+            cfg.eos_token_ids,
+            config.scheduler.max_model_len,
+            extra_schedulers=schedulers[1:],
+        )
+        return cls(
+            config,
+            engine,
+            validation,
+            tokenizer_pool,
+            config.cache.block_size,
+            cfg.eos_token_ids,
+        )
+
+    @classmethod
+    def _build_block_manager(cls, config: EngineConfig):
+        """Native (C++) block manager when enabled + compatible, else None
+        (the Scheduler builds the Python manager itself)."""
+        if config.scheduler.use_native_core and config.cache.enable_prefix_caching:
+            logger.info(
+                "prefix caching enabled — using the Python block manager "
+                "(the native core does not implement content-hash caching)"
+            )
+            return None
+        if not config.scheduler.use_native_core:
+            return None
+        try:
+            from ..native.block_manager import NativeBlockSpaceManager
+
+            manager = NativeBlockSpaceManager(
+                block_size=config.cache.block_size,
+                num_device_blocks=config.cache.num_device_blocks or 0,
+                num_host_blocks=config.cache.num_host_blocks or 0,
+                sliding_window=config.cache.sliding_window,
+            )
+            logger.info("using native (C++) block-manager core")
+            return manager
+        except Exception as e:
+            logger.warning(
+                "native core unavailable (%s); using Python block manager", e
+            )
+            return None
 
     # --------------------------------------------------------------- admission
     @instrument("service.handle_request")

@@ -36,6 +36,58 @@ from ..utils.tracing import instrument
 logger = logging.getLogger(__name__)
 
 
+class PendingStep:
+    """A dispatched-but-unfetched model step.
+
+    Holds device arrays (JAX dispatch is async) plus the metadata needed to
+    package outputs; ``complete()`` blocks on the single small host transfer
+    and builds the per-group outputs. The pipelined engine keeps one of
+    these per cohort in flight so pipeline stages overlap across cohorts.
+    """
+
+    def __init__(self, metadata, tokens, logprobs, top_out, t0: float):
+        self._metadata = metadata
+        self._tokens = tokens
+        self._logprobs = logprobs
+        self._top_out = top_out
+        self._t0 = t0
+
+    def complete(self) -> Dict[str, SequenceGroupOutput]:
+        tokens_np = np.asarray(self._tokens)
+        logprobs_np = np.asarray(self._logprobs)
+        top_ids_np = top_lps_np = None
+        if self._top_out is not None:
+            top_ids_np = np.asarray(self._top_out[0])
+            top_lps_np = np.asarray(self._top_out[1])
+        elapsed = time.monotonic() - self._t0
+
+        # Package per-group outputs (ref: model_executor.rs:339-354).
+        outputs: Dict[str, SequenceGroupOutput] = {}
+        i = 0
+        for meta in self._metadata:
+            seq_outputs: Dict[int, SequenceOutput] = {}
+            for seq_id in meta.seq_data:
+                top_tokens = None
+                if top_ids_np is not None and meta.top_n_tokens > 0:
+                    n = min(meta.top_n_tokens, top_ids_np.shape[1])
+                    top_tokens = [
+                        (int(top_ids_np[i, j]), float(top_lps_np[i, j]))
+                        for j in range(n)
+                    ]
+                seq_outputs[seq_id] = SequenceOutput(
+                    parent_seq_id=seq_id,
+                    output_token=int(tokens_np[i]),
+                    logprob=float(logprobs_np[i]),
+                    is_new_token=meta.do_sample,
+                    top_tokens=top_tokens,
+                )
+                i += 1
+            outputs[meta.request_id] = SequenceGroupOutput(
+                outputs=seq_outputs, time_to_generate=elapsed
+            )
+        return outputs
+
+
 class ModelWorker:
     """Executes scheduled batches against the model + paged KV cache."""
 
@@ -118,20 +170,34 @@ class ModelWorker:
         return kv_cache, kv_scales, tokens, logprobs, top_tokens
 
     # ------------------------------------------------------------------ public
+    def _cache_execute(self, request: ExecuteModelRequest) -> None:
+        self.cache_engine.execute(
+            request.blocks_to_swap_in,
+            request.blocks_to_swap_out,
+            request.blocks_to_copy,
+        )
+
     @instrument("worker.execute_model")
     def execute_model(
         self, request: ExecuteModelRequest
     ) -> Dict[str, SequenceGroupOutput]:
         """One engine step (ref: worker.rs:111-191): swap/copy cache blocks,
         prepare inputs, forward+sample, package outputs per group."""
+        pending = self.dispatch(request)
+        return pending.complete() if pending is not None else {}
+
+    @instrument("worker.dispatch")
+    def dispatch(
+        self, request: ExecuteModelRequest
+    ) -> Optional[PendingStep]:
+        """Dispatch one step without fetching results (JAX queues the work
+        and returns immediately); ``PendingStep.complete()`` blocks on the
+        sampled tokens. Cache-maintenance swaps/copies execute first, in the
+        reference's order (worker.rs:111-160)."""
         t0 = time.monotonic()
-        self.cache_engine.execute(
-            request.blocks_to_swap_in,
-            request.blocks_to_swap_out,
-            request.blocks_to_copy,
-        )
+        self._cache_execute(request)
         if not request.sequence_groups_metadata:
-            return {}
+            return None
 
         model_input = prepare_model_input(
             request.sequence_groups_metadata,
@@ -179,6 +245,18 @@ class ModelWorker:
             "recent_tokens": jnp.asarray(sampling.recent_tokens),
         }
 
+        tokens, logprobs, top_out = self._invoke(
+            model_input, sampling_arrays, sample_steps, sampling
+        )
+        self._step_counter += 1
+        return PendingStep(
+            request.sequence_groups_metadata, tokens, logprobs, top_out, t0
+        )
+
+    def _invoke(self, model_input, sampling_arrays, sample_steps, sampling):
+        """Run the jitted step; update the cache-engine buffer refs; return
+        the (device-array) sampled tokens/logprobs/top-n. Overridden by the
+        pipelined worker to chain per-stage programs."""
         kv_cache, kv_scales, tokens, logprobs, top_out = self._step_fn(
             self.params,
             self.cache_engine.kv_cache,
@@ -197,38 +275,4 @@ class ModelWorker:
         self.cache_engine.kv_cache = kv_cache
         if kv_scales is not None:
             self.cache_engine.kv_scales = kv_scales
-        self._step_counter += 1
-
-        tokens_np = np.asarray(tokens)
-        logprobs_np = np.asarray(logprobs)
-        top_ids_np = top_lps_np = None
-        if top_out is not None:
-            top_ids_np = np.asarray(top_out[0])
-            top_lps_np = np.asarray(top_out[1])
-        elapsed = time.monotonic() - t0
-
-        # Package per-group outputs (ref: model_executor.rs:339-354).
-        outputs: Dict[str, SequenceGroupOutput] = {}
-        i = 0
-        for meta in request.sequence_groups_metadata:
-            seq_outputs: Dict[int, SequenceOutput] = {}
-            for seq_id in meta.seq_data:
-                top_tokens = None
-                if top_ids_np is not None and meta.top_n_tokens > 0:
-                    n = min(meta.top_n_tokens, top_ids_np.shape[1])
-                    top_tokens = [
-                        (int(top_ids_np[i, j]), float(top_lps_np[i, j]))
-                        for j in range(n)
-                    ]
-                seq_outputs[seq_id] = SequenceOutput(
-                    parent_seq_id=seq_id,
-                    output_token=int(tokens_np[i]),
-                    logprob=float(logprobs_np[i]),
-                    is_new_token=meta.do_sample,
-                    top_tokens=top_tokens,
-                )
-                i += 1
-            outputs[meta.request_id] = SequenceGroupOutput(
-                outputs=seq_outputs, time_to_generate=elapsed
-            )
-        return outputs
+        return tokens, logprobs, top_out

@@ -33,6 +33,10 @@ from ..ops.attention import (
 )
 from ..ops.quant import QuantizedLinear, quantized_matmul
 
+# forward_hidden(mesh=...) sentinel: None is a meaningful value (no TP), so
+# "not passed" needs its own marker.
+_UNSET = object()
+
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
@@ -200,6 +204,12 @@ class Llama:
         return params
 
     # -- forward ------------------------------------------------------------------
+    def embed_tokens(
+        self, params: Dict[str, Any], token_ids: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Token embedding lookup (pipeline stage 0's entry step)."""
+        return params["embed"][token_ids].astype(self.dtype)
+
     def forward(
         self,
         params: Dict[str, Any],
@@ -211,7 +221,27 @@ class Llama:
         kv_scales=None,           # tuple of L × [pages, bs, 128] bf16 pages
     ):
         """Returns (hidden [T, H], updated kv_cache) — plus updated
-        kv_scales when the cache is INT8-quantized.
+        kv_scales when the cache is INT8-quantized."""
+        h = self.embed_tokens(params, token_ids)
+        return self.forward_hidden(
+            params, h, positions, kv_cache, attn_meta, kv_scales=kv_scales
+        )
+
+    def forward_hidden(
+        self,
+        params: Dict[str, Any],
+        h: jnp.ndarray,           # [T, H] hidden states (post-embed or from
+                                  # the previous pipeline stage)
+        positions: jnp.ndarray,   # [T] int32 per-token positions
+        kv_cache,                 # tuple of n × [num_pages, bs, 2·Hk·D]
+        attn_meta: AttentionMetadata,
+        kv_scales=None,
+        mesh=_UNSET,              # TP mesh override (pipeline stages pass
+                                  # their own; default: self.mesh)
+    ):
+        """Transformer layers over the hidden states. Runs however many
+        layers ``params["layers"]`` holds — the full model, or one pipeline
+        stage's contiguous slice (parallel/pipeline.py split_params).
 
         The layer loop is UNROLLED over per-layer cache arrays: scanning with
         the cache as scan xs/ys makes XLA materialize an 80MB-per-layer cache
@@ -222,7 +252,9 @@ class Llama:
         here.
         """
         cfg = self.config
-        h = params["embed"][token_ids].astype(self.dtype)
+        if mesh is _UNSET:
+            mesh = self.mesh
+        num_layers = params["layers"]["input_norm"].shape[0]
 
         cos, sin = self.rope_cos, self.rope_sin
         scale = cfg.head_dim**-0.5
@@ -231,7 +263,7 @@ class Llama:
         # The (page → token rows) map for the Pallas cache write depends only
         # on slot_mapping — build it once and reuse across all layers.
         page_map = None
-        if not quantized_kv and self.mesh is None:
+        if not quantized_kv and mesh is None:
             try:
                 on_tpu = jax.default_backend() not in ("cpu",)
             except Exception:  # pragma: no cover
@@ -248,10 +280,10 @@ class Llama:
 
         stacked_in = not isinstance(kv_cache, (tuple, list))
         if stacked_in:
-            kv_cache = tuple(kv_cache[i] for i in range(cfg.num_layers))
+            kv_cache = tuple(kv_cache[i] for i in range(num_layers))
             if quantized_kv and not isinstance(kv_scales, (tuple, list)):
                 kv_scales = tuple(
-                    kv_scales[i] for i in range(cfg.num_layers)
+                    kv_scales[i] for i in range(num_layers)
                 )
 
         def layer_fn(hidden, lp, kv_c, sc_c):
@@ -289,7 +321,7 @@ class Llama:
                 scale=scale,
                 sliding_window=cfg.sliding_window,
                 alibi_slopes=self.alibi,
-                mesh=self.mesh,
+                mesh=mesh,
                 page_map=page_map,
             )
             attn = attn.reshape(-1, cfg.num_attention_heads * cfg.head_dim)
@@ -303,7 +335,7 @@ class Llama:
 
         new_kv = []
         new_scales = []
-        for i in range(cfg.num_layers):
+        for i in range(num_layers):
             lp = jax.tree_util.tree_map(lambda x: x[i], params["layers"])
             h, kv_c, sc_c = layer_fn(
                 h,

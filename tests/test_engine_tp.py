@@ -49,7 +49,11 @@ def build_tp_model(kv_heads: int = 4):
 
 
 def make_service(
-    tp: int, kv_cache_dtype=None, kv_heads: int = 4, **sched_overrides
+    tp: int,
+    kv_cache_dtype=None,
+    kv_heads: int = 4,
+    pipeline_parallel_size: int = 1,
+    **sched_overrides,
 ) -> LlmService:
     model, params, tokenizer = build_tp_model(kv_heads)
     sched = dict(
@@ -64,6 +68,7 @@ def make_service(
             model_name="tiny-random",
             dtype="float32",
             tensor_parallel_size=tp,
+            pipeline_parallel_size=pipeline_parallel_size,
             kv_cache_dtype=kv_cache_dtype,
         ),
         cache=CacheConfig(
