@@ -40,6 +40,13 @@ def main() -> None:
     parser.add_argument("--inner-steps", type=int, default=8)
     parser.add_argument("--outer-steps", type=int, default=8)
     parser.add_argument(
+        "--heads", type=int, nargs=3, metavar=("HQ", "HK", "D"), default=None,
+        help="override (num_q_heads, num_kv_heads, head_dim); e.g. "
+        "'--heads 32 4 128' streams the same KV bytes as the 1B default "
+        "(32 8 64) with half the per-head matmuls — isolates matmul-count "
+        "fixed cost from bandwidth",
+    )
+    parser.add_argument(
         "--contiguous", action="store_true",
         help="sequential physical pages per sequence (the common allocator "
         "pattern) — exercises the kernel's 4-page coalesced DMA branch; "
@@ -64,6 +71,8 @@ def main() -> None:
 
     # Llama-3.2-1B attention shapes.
     Hq, Hk, D = (32, 8, 64) if not args.cpu else (8, 4, 32)
+    if args.heads is not None:
+        Hq, Hk, D = args.heads
     S, bs = args.seqs, args.block_size
     P = args.max_ctx // bs + 1
     num_blocks = S * P + 8
