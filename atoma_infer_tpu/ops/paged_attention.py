@@ -597,13 +597,19 @@ def _paged_attention_call(
     # work list is S entries exactly; the general worst case pads to 1.5·S
     # grid steps of pure overhead at BQ=2.
     W = S if meta.decode_only else T // BQ + S
-    # VMEM-resident q/o: for small decode batches the whole entry-major q
-    # and output arrays live in VMEM for the kernel's duration — no
-    # per-entry q DMA wait, no synchronous per-entry output DMA (measured
-    # ~1µs/entry on v5e). Budget: ring (≤8MB in single-chunk mode) + q + o
-    # must stay within Mosaic's ~16MB scoped VMEM.
+    # VMEM-resident q/o: for decode batches the whole entry-major q and
+    # output arrays live in VMEM for the kernel's duration — no per-entry
+    # q DMA wait, no synchronous per-entry output DMA (measured ~1µs/entry
+    # on v5e). Budget is JOINT with the chunk ring: ring + q + o must stay
+    # within Mosaic's ~16MB scoped VMEM (13MB leaves room for the small
+    # q/o/scale scratch) — a fixed 4MB qo cap turned the path off at
+    # decode batches ≥ 384 where it matters most.
     qo_bytes = W * G * BQ * Hk * D * q.dtype.itemsize
-    qo_vmem = single_chunk and 2 * qo_bytes <= 4 * 1024 * 1024
+    ring_bytes = RING_BUFFERS * min(chunk_bytes, CP * bs * row_bytes)
+    qo_vmem = (
+        single_chunk
+        and ring_bytes + 2 * qo_bytes <= 13 * 1024 * 1024
+    )
 
     fuse_write = kvn is not None
     assert not (fuse_write and quant and scn is None)

@@ -36,6 +36,16 @@ def main() -> None:
         help="KV page size in tokens (bigger pages → fewer per-page DMA "
         "descriptors per attention entry; more internal fragmentation)",
     )
+    parser.add_argument(
+        "--seqs", type=int, default=None,
+        help="decode batch size (default: the measured-best serving batch)",
+    )
+    parser.add_argument(
+        "--heads", type=int, nargs=3, metavar=("HQ", "HK", "D"), default=None,
+        help="override (q heads, kv heads, head_dim) at constant Hq*D — "
+        "perf attribution probe (e.g. '16 4 128' halves the attention "
+        "kernel's per-head matmul count at identical FLOPs and KV bytes)",
+    )
     args = parser.parse_args()
 
     from atoma_infer_tpu.models.llama import Llama, LlamaConfig
@@ -49,9 +59,9 @@ def main() -> None:
         hidden_size=2048,
         intermediate_size=8192,
         num_hidden_layers=16,
-        num_attention_heads=32,
-        num_key_value_heads=8,
-        head_dim=64,
+        num_attention_heads=args.heads[0] if args.heads else 32,
+        num_key_value_heads=args.heads[1] if args.heads else 8,
+        head_dim=args.heads[2] if args.heads else 64,
         max_position_embeddings=4096,
         tie_word_embeddings=True,
     )
@@ -72,7 +82,11 @@ def main() -> None:
     model = Llama(cfg, dtype=jnp.bfloat16)
     params = model.init_params(jax.random.PRNGKey(0))
 
-    S = 64                      # decode batch (sequences)
+    # Decode batch: throughput rises with batch until the attention linear
+    # term dominates (measured on v5e-1, ctx 512: 64→8719, 128→12564,
+    # 256→15328, 384→15763, 512→16158 tok/s). 256 is the knee — past it,
+    # +109% step latency buys +5% throughput.
+    S = args.seqs or (256 if on_tpu else 64)
     block_size = args.block_size
     ctx = 512                   # starting context per sequence
     steps = 128 if on_tpu else 4
