@@ -146,9 +146,12 @@ def _kernel(
     alibi: bool,
     wb_sub: int,
     qo_vmem: bool,
+    entries_per_step: int,
 ):
-    e = pl.program_id(0)
-    W = pl.num_programs(0)
+    EPS = entries_per_step
+    g = pl.program_id(0)
+    W = entry_seq_ref.shape[0]  # total entries (== grid·EPS)
+    e = g * EPS  # first entry of this grid step
     s = entry_seq_ref[e]
     active = s >= 0
     s = jnp.maximum(s, 0)
@@ -270,7 +273,7 @@ def _kernel(
         q_dma(eidx, q_slot(eidx)).wait()
         return q_vmem[q_slot(eidx)]
 
-    def patch_and_writeback(slot, j):
+    def patch_and_writeback(slot, j, s, q_start, q_len, kv_len):
         """Fused KV write: patch this entry's newly written row (position
         kv_len−1, decode ⇒ q_len==1) into the loaded chunk and DMA the
         patched 16-row window back to its HBM page."""
@@ -346,7 +349,7 @@ def _kernel(
     row_query = jax.lax.broadcasted_iota(jnp.int32, (GBQ, 1), 0) % BQ
     pos = kv_len - q_len + b * BQ + row_query  # [G·BQ, 1]
 
-    def attend_chunk(q_all, slot, j, carry):
+    def attend_chunk(q_all, slot, j, carry, pos=pos, kv_len=kv_len):
         """Online-softmax update of (m, l, acc) per kv head over one chunk."""
         kv_all = kv_vmem[slot].reshape(CHUNK, 2 * Hk * D)
         col = j * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -368,19 +371,21 @@ def _kernel(
                 jnp.where(lane == 1, scv, 0.0), axis=1, keepdims=True
             )
 
-        new_carry = []
+        # Phase 1: all per-head score matmuls, back to back — the 2·Hk
+        # per-head matmuls are the dominant per-entry cost at decode (the
+        # constant-FLOPs --heads probe measured ~0.19µs/kv-head), and
+        # grouping the independent QK^T dots gives the scheduler a run of
+        # MXU work with no interleaved VPU dependencies.
+        scores = []
         for h in range(Hk):
             # Head-interleaved rows: [K_h | V_h] at lanes [h·2D, (h+1)·2D).
             kh = kv_all[:, h * 2 * D : h * 2 * D + D]  # [CHUNK, D]
-            vh = kv_all[:, h * 2 * D + D : (h + 1) * 2 * D]
             if quant:
                 # VPU dequant: int8 → f32 × per-row scale → q dtype for the
                 # MXU. Scales are shared across heads, so the column
                 # broadcasts over the head's D lanes.
                 kh = (kh.astype(jnp.float32) * k_col).astype(q_all.dtype)
-                vh = (vh.astype(jnp.float32) * v_col).astype(q_all.dtype)
-            m, l, acc = carry[h]
-            sc = (
+            scores.append(
                 jax.lax.dot_general(
                     q_all[:, h * D : (h + 1) * D],
                     kh,
@@ -389,6 +394,12 @@ def _kernel(
                 )
                 * scale
             )  # [G·BQ, CHUNK]
+
+        # Phase 2: per-head masked online-softmax updates (pure VPU).
+        softmaxed = []
+        for h in range(Hk):
+            m, l, acc = carry[h]
+            sc = scores[h]
             if soft_cap is not None:
                 sc = soft_cap * jnp.tanh(sc / soft_cap)
             if alibi:
@@ -409,6 +420,17 @@ def _kernel(
             p_ = jnp.exp(sc - m_new)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+            softmaxed.append((m_new, l_new, alpha, p_))
+
+        # Phase 3: all PV matmuls back to back (same scheduling rationale
+        # as phase 1).
+        new_carry = []
+        for h in range(Hk):
+            vh = kv_all[:, h * 2 * D + D : (h + 1) * 2 * D]
+            if quant:
+                vh = (vh.astype(jnp.float32) * v_col).astype(q_all.dtype)
+            m_new, l_new, alpha, p_ = softmaxed[h]
+            acc = carry[h][2]
             acc_new = acc * alpha + jax.lax.dot_general(
                 p_.astype(vh.dtype),
                 vh,
@@ -418,7 +440,8 @@ def _kernel(
             new_carry.append((m_new, l_new, acc_new))
         return tuple(new_carry)
 
-    def finalize(carry):
+    def finalize(carry, eidx=None):
+        eidx = e if eidx is None else eidx
         if qo_vmem:
             # VMEM-resident output: per-head stores at a dynamic entry row —
             # no per-entry DMA, no synchronous wait (Pallas writes the whole
@@ -426,13 +449,15 @@ def _kernel(
             for h in range(Hk):
                 _, l, acc = carry[h]
                 out_h = acc / jnp.maximum(l, 1e-30)  # [G·BQ, D]
-                o_hbm[e, :, h * D : (h + 1) * D] = out_h.astype(o_hbm.dtype)
+                o_hbm[eidx, :, h * D : (h + 1) * D] = out_h.astype(
+                    o_hbm.dtype
+                )
             return
         for h in range(Hk):
             _, l, acc = carry[h]
             out_h = acc / jnp.maximum(l, 1e-30)  # [G·BQ, D]
             o_vmem[:, h * D : (h + 1) * D] = out_h.astype(o_vmem.dtype)
-        o_dma = pltpu.make_async_copy(o_vmem, o_hbm.at[e], o_sem)
+        o_dma = pltpu.make_async_copy(o_vmem, o_hbm.at[eidx], o_sem)
         o_dma.start()
         o_dma.wait()
 
@@ -452,6 +477,12 @@ def _kernel(
             for i in range(NB):
                 wb_flag[i] = 0
 
+    # NOTE (measured dead end): a two-entries-per-grid-step variant of the
+    # single-chunk branch (grid W/2, per-entry scalars, NB=2·EPS ring with
+    # one-step lookahead) REGRESSED 4% at 256-seq decode — the per-entry
+    # pl.when regions gain no cross-entry MXU overlap and the shallower
+    # DMA lookahead (2 entries vs 3) costs more than the halved grid
+    # overhead saves. The helpers stay parameterized by per-entry scalars.
     if single_chunk:
         # Deep pipeline: NB−1 entries of lookahead keep NB chunk DMAs in
         # flight — the analog of FA2's multi-stage cp.async pipelining for
@@ -474,7 +505,7 @@ def _kernel(
             q_all = load_q(e)
             wait_chunk(slot)
             if fuse_write:
-                patch_and_writeback(slot, 0)
+                patch_and_writeback(slot, 0, s, q_start, q_len, kv_len)
             finalize(attend_chunk(q_all, slot, 0, init))
     else:
 
@@ -506,7 +537,7 @@ def _kernel(
                 slot = kv_slot(e, j)
                 wait_chunk(slot)
                 if fuse_write:
-                    patch_and_writeback(slot, j)
+                    patch_and_writeback(slot, j, s, q_start, q_len, kv_len)
                 return attend_chunk(q_all, slot, j, carry)
 
             finalize(jax.lax.fori_loop(0, nc, chunk_body, init))
@@ -514,7 +545,7 @@ def _kernel(
     if fuse_write:
         # Drain outstanding write-backs before the kernel exits (runs even
         # when the final entries are inactive padding).
-        @pl.when(e == W - 1)
+        @pl.when(g == pl.num_programs(0) - 1)
         def _():
             for slot in range(NB):
                 maybe_wait_wb(slot)
@@ -595,8 +626,11 @@ def _paged_attention_call(
         CP = P
     # Decode-only batches have exactly one entry per active sequence, so the
     # work list is S entries exactly; the general worst case pads to 1.5·S
-    # grid steps of pure overhead at BQ=2.
+    # grid steps of pure overhead at BQ=2. Rounded up to even so the
+    # two-entries-per-step mode divides the work list (the pad entry is
+    # inactive).
     W = S if meta.decode_only else T // BQ + S
+    W += W % 2
     # VMEM-resident q/o: for decode batches the whole entry-major q and
     # output arrays live in VMEM for the kernel's duration — no per-entry
     # q DMA wait, no synchronous per-entry output DMA (measured ~1µs/entry
@@ -610,6 +644,7 @@ def _paged_attention_call(
         single_chunk
         and ring_bytes + 2 * qo_bytes <= 13 * 1024 * 1024
     )
+    EPS = 1  # entries per grid step (2 measured slower — see kernel note)
 
     fuse_write = kvn is not None
     assert not (fuse_write and quant and scn is None)
@@ -665,7 +700,7 @@ def _paged_attention_call(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(W,),
+        grid=(W // EPS,),
         in_specs=[
             pl.BlockSpec(
                 memory_space=pltpu.VMEM if qo_vmem else pl.ANY
@@ -717,6 +752,7 @@ def _paged_attention_call(
         alibi=alibi,
         wb_sub=wbs,
         qo_vmem=qo_vmem,
+        entries_per_step=EPS,
     )
 
     out_gm, new_cache, new_scales = pl.pallas_call(

@@ -40,16 +40,23 @@ def _scaled_dot(x_blk, w_blk, s_ref, k, groups_per_blk, group_size):
     group (Mosaic feeds the int8 operand straight to the MXU — measured ~6×
     faster than a VPU int8→bf16 convert before the dot), scale applied to
     the f32 dot RESULT (epilogue multiply on [BM, BN] registers). Avoids the
-    XLA path's HBM-materialized [M, groups, N] partials."""
-    acc = None
-    for g in range(groups_per_blk):
-        s_row = _scale_row(s_ref, k * groups_per_blk + g)  # [1, BN] f32
-        d = jax.lax.dot_general(
+    XLA path's HBM-materialized [M, groups, N] partials. All group dots are
+    issued back to back before the scale epilogues — interleaving
+    independent MXU work with VPU epilogues serializes the MXU pipe
+    (measured on the attention kernel's per-head loop: phase-splitting the
+    same pattern bought 21% end-to-end)."""
+    dots = [
+        jax.lax.dot_general(
             x_blk[:, g * group_size : (g + 1) * group_size],
             w_blk[g * group_size : (g + 1) * group_size, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        for g in range(groups_per_blk)
+    ]
+    acc = None
+    for g, d in enumerate(dots):
+        s_row = _scale_row(s_ref, k * groups_per_blk + g)  # [1, BN] f32
         acc = d * s_row if acc is None else acc + d * s_row
     return acc
 
@@ -116,20 +123,26 @@ def _kernel_i4(
     # concat (which lowers to VMEM copies) — and scale the f32 result.
     half = group_size // 2
     x_blk = x_ref[...]
-    acc = None
-    for g in range(groups_per_blk):
-        s_row = _scale_row(s_ref, k * groups_per_blk + g)  # [1, BN]
-        d = jax.lax.dot_general(
+    # All group dots issued back to back before the scale/bias epilogues
+    # (MXU-adjacency — see _scaled_dot note).
+    dots = [
+        jax.lax.dot_general(
             x_blk[:, g * group_size : g * group_size + half],
             lo[g * half : (g + 1) * half, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
+        )
+        + jax.lax.dot_general(
             x_blk[:, g * group_size + half : (g + 1) * group_size],
             hi[g * half : (g + 1) * half, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        for g in range(groups_per_blk)
+    ]
+    acc = None
+    for g, d in enumerate(dots):
+        s_row = _scale_row(s_ref, k * groups_per_blk + g)  # [1, BN]
         if biased:
             sum_x = jnp.sum(
                 x_blk[

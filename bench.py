@@ -83,9 +83,9 @@ def main() -> None:
     params = model.init_params(jax.random.PRNGKey(0))
 
     # Decode batch: throughput rises with batch until the attention linear
-    # term dominates (measured on v5e-1, ctx 512: 64→8719, 128→12564,
-    # 256→15328, 384→15763, 512→16158 tok/s). 256 is the knee — past it,
-    # +109% step latency buys +5% throughput.
+    # term dominates (measured on v5e-1, ctx 512, phase-split kernel:
+    # 128→14738, 256→18506, 512→19786 tok/s). 256 is the knee — past it,
+    # +139% step latency buys +7% throughput.
     S = args.seqs or (256 if on_tpu else 64)
     block_size = args.block_size
     ctx = 512                   # starting context per sequence
