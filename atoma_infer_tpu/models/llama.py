@@ -60,6 +60,8 @@ class LlamaConfig:
     # ALiBi positional bias instead of rope (ref kernel support:
     # csrc/kernels/alibi.h, flash_attention.rs:175-196).
     use_alibi: bool = False
+    # Additive q/k/v projection biases (Qwen2-style; HF `attention_bias`).
+    attention_bias: bool = False
     architecture: str = "llama"
 
     @classmethod
@@ -95,6 +97,7 @@ class LlamaConfig:
             eos_token_ids=eos_ids,
             bos_token_id=d.get("bos_token_id", 1),
             use_alibi=bool(d.get("alibi", d.get("use_alibi", False))),
+            attention_bias=bool(d.get("attention_bias", False)),
             architecture=d.get("model_type", "llama"),
         )
 
@@ -199,6 +202,10 @@ class Llama:
             },
             "final_norm": jnp.ones((h,), dtype=self.dtype),
         }
+        if cfg.attention_bias:
+            params["layers"]["q_bias"] = init(next(k), (L, hq * d), h)
+            params["layers"]["k_bias"] = init(next(k), (L, hk * d), h)
+            params["layers"]["v_bias"] = init(next(k), (L, hk * d), h)
         if not cfg.tie_word_embeddings:
             params["lm_head"] = init(next(k), (h, cfg.vocab_size), h)
         return params
@@ -289,15 +296,17 @@ class Llama:
         def layer_fn(hidden, lp, kv_c, sc_c):
             # Attention block (ref: llama.rs:218-320).
             normed = rms_norm(hidden, lp["input_norm"], cfg.rms_norm_eps)
-            q = _linear(normed, lp["q_proj"]).reshape(
-                -1, cfg.num_attention_heads, cfg.head_dim
-            )
-            kk = _linear(normed, lp["k_proj"]).reshape(
-                -1, cfg.num_key_value_heads, cfg.head_dim
-            )
-            vv = _linear(normed, lp["v_proj"]).reshape(
-                -1, cfg.num_key_value_heads, cfg.head_dim
-            )
+            q = _linear(normed, lp["q_proj"])
+            kk = _linear(normed, lp["k_proj"])
+            vv = _linear(normed, lp["v_proj"])
+            if "q_bias" in lp:
+                # Qwen2-style additive qkv biases (HF `attention_bias`).
+                q = q + lp["q_bias"].astype(q.dtype)
+                kk = kk + lp["k_bias"].astype(kk.dtype)
+                vv = vv + lp["v_bias"].astype(vv.dtype)
+            q = q.reshape(-1, cfg.num_attention_heads, cfg.head_dim)
+            kk = kk.reshape(-1, cfg.num_key_value_heads, cfg.head_dim)
+            vv = vv.reshape(-1, cfg.num_key_value_heads, cfg.head_dim)
             if self.alibi is None:
                 q = apply_rope(q, positions, cos, sin)
                 kk = apply_rope(kk, positions, cos, sin)

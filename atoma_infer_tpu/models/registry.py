@@ -2,7 +2,8 @@
 
 Maps HF ``model_type`` / architecture names to model classes. The reference
 registers only Llama (Mistral and Phi3 exist in its models crate but are
-unwired — SURVEY.md §2.3); here all three families are registered.
+unwired — SURVEY.md §2.3); here all three are registered, plus Qwen2
+(beyond reference parity).
 """
 
 from __future__ import annotations
@@ -14,14 +15,17 @@ def get_model_cls(model_type: str):
     from .llama import Llama
     from .mistral import Mistral
     from .phi3 import Phi3
+    from .qwen2 import Qwen2
 
     registry: Dict[str, Type] = {
         "llama": Llama,
         "mistral": Mistral,
         "phi3": Phi3,
+        "qwen2": Qwen2,
         "LlamaForCausalLM": Llama,
         "MistralForCausalLM": Mistral,
         "Phi3ForCausalLM": Phi3,
+        "Qwen2ForCausalLM": Qwen2,
     }
     if model_type not in registry:
         raise ValueError(
@@ -31,4 +35,4 @@ def get_model_cls(model_type: str):
 
 
 def list_models():
-    return ["llama", "mistral", "phi3"]
+    return ["llama", "mistral", "phi3", "qwen2"]

@@ -53,6 +53,10 @@ def load_hf_config(model_dir: str) -> LlamaConfig:
         from .phi3 import Phi3Config
 
         return Phi3Config.from_hf_dict(d)
+    if model_type == "qwen2":
+        from .qwen2 import Qwen2Config
+
+        return Qwen2Config.from_hf_dict(d)
     return LlamaConfig.from_hf_dict(d)
 
 
@@ -63,11 +67,18 @@ _LAYER_MAP = {
     "self_attn.k_proj.weight": ("k_proj", True),
     "self_attn.v_proj.weight": ("v_proj", True),
     "self_attn.o_proj.weight": ("o_proj", True),
+    # Qwen2-style qkv biases (absent in llama/mistral checkpoints — bias
+    # keys whose tensors never appear are dropped after loading).
+    "self_attn.q_proj.bias": ("q_bias", False),
+    "self_attn.k_proj.bias": ("k_bias", False),
+    "self_attn.v_proj.bias": ("v_bias", False),
     "post_attention_layernorm.weight": ("post_norm", False),
     "mlp.gate_proj.weight": ("gate_proj", True),
     "mlp.up_proj.weight": ("up_proj", True),
     "mlp.down_proj.weight": ("down_proj", True),
 }
+
+_OPTIONAL_KEYS = frozenset({"q_bias", "k_bias", "v_bias"})
 
 _QUANTIZED_KEYS = frozenset(
     {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}
@@ -132,6 +143,8 @@ def load_llama_params(
     layers: Dict[str, Any] = {}
     for key, tensors in per_layer.items():
         missing = [i for i, t in enumerate(tensors) if t is None]
+        if key in _OPTIONAL_KEYS and len(missing) == len(tensors):
+            continue  # bias-free family (llama/mistral/phi3)
         if missing:
             raise ValueError(f"missing layer tensors for {key}: {missing}")
         stacked = np.stack(tensors)

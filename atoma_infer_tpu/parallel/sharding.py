@@ -35,6 +35,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def _spec_for_linear(mesh: Mesh, key: str, value) -> Any:
     """Sharding for one stacked linear [L, in, out] (dense or quantized)."""
+    if key in ("q_bias", "k_bias", "v_bias"):
+        # Additive biases on column-parallel projections: shard the output
+        # dim like the matmul result they add to.
+        return NamedSharding(mesh, P(None, TP_AXIS))
     col_parallel = key in ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
     row_parallel = key in ("o_proj", "down_proj")
     if not (col_parallel or row_parallel):

@@ -148,7 +148,7 @@ class TestPhi3:
 
 class TestRegistry:
     def test_families_registered(self):
-        assert set(list_models()) == {"llama", "mistral", "phi3"}
+        assert set(list_models()) == {"llama", "mistral", "phi3", "qwen2"}
         for name in ("llama", "mistral", "phi3"):
             assert get_model_cls(name) is not None
         with pytest.raises(ValueError):
@@ -214,3 +214,74 @@ class TestAlibi:
             )
         )
         assert cfg.use_alibi
+
+
+class TestQwen2:
+    """Qwen2 (beyond-reference family): llama forward + additive qkv biases."""
+
+    def test_logits_match_hf(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from safetensors.torch import save_file
+        from transformers import Qwen2Config as HFConfig
+        from transformers import Qwen2ForCausalLM
+
+        cfg_dict = dict(
+            model_type="qwen2",
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=128,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            num_key_value_heads=2,
+            rms_norm_eps=1e-5,
+            rope_theta=10000.0,
+            max_position_embeddings=256,
+            tie_word_embeddings=False,
+            bos_token_id=0,
+            eos_token_id=1,
+        )
+        torch.manual_seed(3)
+        hf_model = (
+            Qwen2ForCausalLM(HFConfig(**cfg_dict)).eval().to(torch.float32)
+        )
+        # Random (non-zero) qkv biases so the bias path is actually exercised.
+        with torch.no_grad():
+            for layer in hf_model.model.layers:
+                for proj in ("q_proj", "k_proj", "v_proj"):
+                    getattr(layer.self_attn, proj).bias.normal_(0.0, 0.5)
+        save_file(hf_model.state_dict(), str(tmp_path / "model.safetensors"))
+        (tmp_path / "config.json").write_text(json.dumps(cfg_dict))
+
+        T = 24
+        rng = np.random.RandomState(7)
+        token_ids = rng.randint(0, 128, T)
+        with torch.no_grad():
+            hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
+        ours = run_ours(str(tmp_path), T, token_ids)
+        np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-4)
+
+    def test_registry_and_config(self, tmp_path):
+        assert "qwen2" in list_models()
+        (tmp_path / "config.json").write_text(
+            json.dumps(
+                dict(
+                    model_type="qwen2",
+                    vocab_size=128,
+                    hidden_size=64,
+                    intermediate_size=128,
+                    num_hidden_layers=2,
+                    num_attention_heads=4,
+                    use_sliding_window=False,
+                    sliding_window=999,
+                )
+            )
+        )
+        cfg = load_hf_config(str(tmp_path))
+        assert cfg.architecture == "qwen2"
+        assert cfg.attention_bias is True
+        # use_sliding_window=False must disable the window.
+        assert cfg.sliding_window is None
+        from atoma_infer_tpu.models.qwen2 import Qwen2
+
+        assert get_model_cls("qwen2") is Qwen2
+        assert get_model_cls("Qwen2ForCausalLM") is Qwen2
