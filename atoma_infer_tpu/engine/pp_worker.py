@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import CacheConfig, SchedulerConfig
+from ..parallel.pipeline import stage_layer_bounds
 from .sampler import sample
 from .worker import ModelWorker
 
@@ -91,6 +92,9 @@ class PipelinedModelWorker(ModelWorker):
         constant (closure), so each stage compiles for its own device set."""
         first = s == 0
         last = s == self.pp - 1
+        # Stage's first-layer index in the full model: families with
+        # per-layer behavior (gemma2's alternating window) need it.
+        lo = stage_layer_bounds(self.model.config.num_layers, self.pp)[s][0]
         mesh = self.stage_meshes[s]
         tp_mesh = mesh if (mesh is not None and self._tp > 1) else None
         model = self.model
@@ -101,7 +105,7 @@ class PipelinedModelWorker(ModelWorker):
                 h = model.embed_tokens(params, token_ids)
                 out = model.forward_hidden(
                     params, h, positions, kv_cache, meta,
-                    kv_scales=kv_scales, mesh=tp_mesh,
+                    kv_scales=kv_scales, mesh=tp_mesh, layer_offset=lo,
                 )
                 if kv_scales is not None:
                     h, kv_cache, kv_scales = out
@@ -116,7 +120,7 @@ class PipelinedModelWorker(ModelWorker):
             def stage_fn(params, kv_cache, kv_scales, hidden, positions, meta):
                 out = model.forward_hidden(
                     params, hidden, positions, kv_cache, meta,
-                    kv_scales=kv_scales, mesh=tp_mesh,
+                    kv_scales=kv_scales, mesh=tp_mesh, layer_offset=lo,
                 )
                 if kv_scales is not None:
                     hidden, kv_cache, kv_scales = out
@@ -147,7 +151,7 @@ class PipelinedModelWorker(ModelWorker):
             hidden = model.embed_tokens(params, x) if first else x
             out = model.forward_hidden(
                 params, hidden, positions, kv_cache, meta,
-                kv_scales=kv_scales, mesh=tp_mesh,
+                kv_scales=kv_scales, mesh=tp_mesh, layer_offset=lo,
             )
             if kv_scales is not None:
                 hidden, kv_cache, kv_scales = out

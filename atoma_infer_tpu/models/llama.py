@@ -234,41 +234,14 @@ class Llama:
             params, h, positions, kv_cache, attn_meta, kv_scales=kv_scales
         )
 
-    def forward_hidden(
-        self,
-        params: Dict[str, Any],
-        h: jnp.ndarray,           # [T, H] hidden states (post-embed or from
-                                  # the previous pipeline stage)
-        positions: jnp.ndarray,   # [T] int32 per-token positions
-        kv_cache,                 # tuple of n × [num_pages, bs, 2·Hk·D]
-        attn_meta: AttentionMetadata,
-        kv_scales=None,
-        mesh=_UNSET,              # TP mesh override (pipeline stages pass
-                                  # their own; default: self.mesh)
-    ):
-        """Transformer layers over the hidden states. Runs however many
-        layers ``params["layers"]`` holds — the full model, or one pipeline
-        stage's contiguous slice (parallel/pipeline.py split_params).
-
-        The layer loop is UNROLLED over per-layer cache arrays: scanning with
-        the cache as scan xs/ys makes XLA materialize an 80MB-per-layer cache
-        copy with a layout transpose each step (measured ~7ms/layer on v5e —
-        the dominant cost of a decode step). Per-layer arrays touched by
-        static python indexing keep the cache buffers donated and in place.
-        A stacked array input is accepted for convenience (tests) and split
-        here.
-        """
-        cfg = self.config
-        if mesh is _UNSET:
-            mesh = self.mesh
+    def _prep_forward(self, params, kv_cache, kv_scales, attn_meta, mesh):
+        """Shared forward prologue: layer count, one-time page map for the
+        Pallas cache write (depends only on slot_mapping — reused across all
+        layers), and per-layer cache/scale tuples (stacked arrays accepted
+        for convenience and split here)."""
         num_layers = params["layers"]["input_norm"].shape[0]
-
-        cos, sin = self.rope_cos, self.rope_sin
-        scale = cfg.head_dim**-0.5
         quantized_kv = kv_scales is not None
 
-        # The (page → token rows) map for the Pallas cache write depends only
-        # on slot_mapping — build it once and reuse across all layers.
         page_map = None
         if not quantized_kv and mesh is None:
             try:
@@ -289,9 +262,60 @@ class Llama:
         if stacked_in:
             kv_cache = tuple(kv_cache[i] for i in range(num_layers))
             if quantized_kv and not isinstance(kv_scales, (tuple, list)):
-                kv_scales = tuple(
-                    kv_scales[i] for i in range(num_layers)
-                )
+                kv_scales = tuple(kv_scales[i] for i in range(num_layers))
+        return num_layers, page_map, stacked_in, kv_cache, kv_scales
+
+    @staticmethod
+    def _pack_forward(h, new_kv, new_scales, stacked_in, quantized_kv):
+        """Shared forward epilogue: re-stack per-layer outputs when the
+        caller passed a stacked cache."""
+        if quantized_kv:
+            if stacked_in:
+                return h, jnp.stack(new_kv), jnp.stack(new_scales)
+            return h, tuple(new_kv), tuple(new_scales)
+        if stacked_in:
+            return h, jnp.stack(new_kv)
+        return h, tuple(new_kv)
+
+    def forward_hidden(
+        self,
+        params: Dict[str, Any],
+        h: jnp.ndarray,           # [T, H] hidden states (post-embed or from
+                                  # the previous pipeline stage)
+        positions: jnp.ndarray,   # [T] int32 per-token positions
+        kv_cache,                 # tuple of n × [num_pages, bs, 2·Hk·D]
+        attn_meta: AttentionMetadata,
+        kv_scales=None,
+        mesh=_UNSET,              # TP mesh override (pipeline stages pass
+                                  # their own; default: self.mesh)
+        layer_offset: int = 0,    # index of params' first layer within the
+                                  # full model (pipeline stages pass their
+                                  # bound; families with per-layer behavior
+                                  # — gemma2's alternating window — use it)
+    ):
+        """Transformer layers over the hidden states. Runs however many
+        layers ``params["layers"]`` holds — the full model, or one pipeline
+        stage's contiguous slice (parallel/pipeline.py split_params).
+
+        The layer loop is UNROLLED over per-layer cache arrays: scanning with
+        the cache as scan xs/ys makes XLA materialize an 80MB-per-layer cache
+        copy with a layout transpose each step (measured ~7ms/layer on v5e —
+        the dominant cost of a decode step). Per-layer arrays touched by
+        static python indexing keep the cache buffers donated and in place.
+        A stacked array input is accepted for convenience (tests) and split
+        here.
+        """
+        cfg = self.config
+        if mesh is _UNSET:
+            mesh = self.mesh
+        del layer_offset  # llama layers are positionally uniform
+
+        cos, sin = self.rope_cos, self.rope_sin
+        scale = cfg.head_dim**-0.5
+        quantized_kv = kv_scales is not None
+        num_layers, page_map, stacked_in, kv_cache, kv_scales = (
+            self._prep_forward(params, kv_cache, kv_scales, attn_meta, mesh)
+        )
 
         def layer_fn(hidden, lp, kv_c, sc_c):
             # Attention block (ref: llama.rs:218-320).
@@ -355,13 +379,7 @@ class Llama:
             new_kv.append(kv_c)
             new_scales.append(sc_c)
 
-        if quantized_kv:
-            if stacked_in:
-                return h, jnp.stack(new_kv), jnp.stack(new_scales)
-            return h, tuple(new_kv), tuple(new_scales)
-        if stacked_in:
-            return h, jnp.stack(new_kv)
-        return h, tuple(new_kv)
+        return self._pack_forward(h, new_kv, new_scales, stacked_in, quantized_kv)
 
     def compute_logits(
         self,

@@ -12,6 +12,7 @@ from typing import Dict, Type
 
 
 def get_model_cls(model_type: str):
+    from .gemma import Gemma2
     from .llama import Llama
     from .mistral import Mistral
     from .phi3 import Phi3
@@ -22,10 +23,12 @@ def get_model_cls(model_type: str):
         "mistral": Mistral,
         "phi3": Phi3,
         "qwen2": Qwen2,
+        "gemma2": Gemma2,
         "LlamaForCausalLM": Llama,
         "MistralForCausalLM": Mistral,
         "Phi3ForCausalLM": Phi3,
         "Qwen2ForCausalLM": Qwen2,
+        "Gemma2ForCausalLM": Gemma2,
     }
     if model_type not in registry:
         raise ValueError(
@@ -35,4 +38,4 @@ def get_model_cls(model_type: str):
 
 
 def list_models():
-    return ["llama", "mistral", "phi3", "qwen2"]
+    return ["llama", "mistral", "phi3", "qwen2", "gemma2"]

@@ -57,6 +57,10 @@ def load_hf_config(model_dir: str) -> LlamaConfig:
         from .qwen2 import Qwen2Config
 
         return Qwen2Config.from_hf_dict(d)
+    if model_type == "gemma2":
+        from .gemma import GemmaConfig
+
+        return GemmaConfig.from_hf_dict(d)
     return LlamaConfig.from_hf_dict(d)
 
 
@@ -73,12 +77,17 @@ _LAYER_MAP = {
     "self_attn.k_proj.bias": ("k_bias", False),
     "self_attn.v_proj.bias": ("v_bias", False),
     "post_attention_layernorm.weight": ("post_norm", False),
+    # Gemma2's extra feed-forward norms (absent in the other families).
+    "pre_feedforward_layernorm.weight": ("pre_ffw_norm", False),
+    "post_feedforward_layernorm.weight": ("post_ffw_norm", False),
     "mlp.gate_proj.weight": ("gate_proj", True),
     "mlp.up_proj.weight": ("up_proj", True),
     "mlp.down_proj.weight": ("down_proj", True),
 }
 
-_OPTIONAL_KEYS = frozenset({"q_bias", "k_bias", "v_bias"})
+_OPTIONAL_KEYS = frozenset(
+    {"q_bias", "k_bias", "v_bias", "pre_ffw_norm", "post_ffw_norm"}
+)
 
 _QUANTIZED_KEYS = frozenset(
     {"q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"}

@@ -45,6 +45,14 @@ KNOWN_MODELS = frozenset(
         "NousResearch/Hermes-3-Llama-3.1-8B",
         "NousResearch/Hermes-3-Llama-3.1-70B",
         "NousResearch/Hermes-3-Llama-3.1-405B",
+        # Families served beyond the reference enum (models/registry.py).
+        "mistralai/Mistral-7B-Instruct-v0.3",
+        "microsoft/Phi-3-mini-4k-instruct",
+        "Qwen/Qwen2.5-7B-Instruct",
+        "google/gemma-2-9b",
+        "google/gemma-2-9b-it",
+        "google/gemma-2-27b",
+        "google/gemma-2-27b-it",
     }
 )
 

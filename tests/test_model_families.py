@@ -148,8 +148,10 @@ class TestPhi3:
 
 class TestRegistry:
     def test_families_registered(self):
-        assert set(list_models()) == {"llama", "mistral", "phi3", "qwen2"}
-        for name in ("llama", "mistral", "phi3"):
+        assert set(list_models()) == {
+            "llama", "mistral", "phi3", "qwen2", "gemma2",
+        }
+        for name in ("llama", "mistral", "phi3", "qwen2", "gemma2"):
             assert get_model_cls(name) is not None
         with pytest.raises(ValueError):
             get_model_cls("gpt-neox")
@@ -260,6 +262,80 @@ class TestQwen2:
         ours = run_ours(str(tmp_path), T, token_ids)
         np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-4)
 
+class TestGemma2:
+    """Gemma2 (beyond-reference family): zero-centered norms ×4/layer,
+    GeGLU, embed scaling, attn+final logit softcaps, ALTERNATING sliding
+    window — the one family combining the kernel's soft_cap and per-layer
+    window features."""
+
+    CFG = dict(
+        model_type="gemma2",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,  # 2 local + 2 global layers
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rms_norm_eps=1e-6,
+        rope_theta=10000.0,
+        max_position_embeddings=256,
+        query_pre_attn_scalar=24,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        sliding_window=16,
+        hidden_activation="gelu_pytorch_tanh",
+        tie_word_embeddings=True,
+        bos_token_id=2,
+        eos_token_id=1,
+        pad_token_id=0,
+    )
+
+    def test_logits_match_hf(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from safetensors.torch import save_file
+        from transformers import Gemma2Config as HFConfig
+        from transformers import Gemma2ForCausalLM
+
+        hf_cfg = HFConfig(**self.CFG)
+        hf_cfg._attn_implementation = "eager"  # softcap needs the eager path
+        torch.manual_seed(5)
+        hf_model = Gemma2ForCausalLM(hf_cfg).eval().to(torch.float32)
+        state = {
+            k: v for k, v in hf_model.state_dict().items()
+            if k != "lm_head.weight"  # tied to embed_tokens
+        }
+        save_file(state, str(tmp_path / "model.safetensors"))
+        (tmp_path / "config.json").write_text(json.dumps(self.CFG))
+
+        T = 40  # > sliding_window so local layers actually mask
+        rng = np.random.RandomState(11)
+        token_ids = rng.randint(0, 128, T)
+        with torch.no_grad():
+            hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
+        ours = run_ours(str(tmp_path), T, token_ids)
+        np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-4)
+
+    def test_config_dispatch_and_layer_windows(self, tmp_path):
+        (tmp_path / "config.json").write_text(json.dumps(self.CFG))
+        cfg = load_hf_config(str(tmp_path))
+        assert cfg.architecture == "gemma2"
+        # Engine-level window must stay None: global layers need every page.
+        assert cfg.sliding_window is None
+        assert cfg.attn_logit_softcapping == 50.0
+        assert cfg.final_logit_softcapping == 30.0
+        assert cfg.tie_word_embeddings
+        # Alternating pattern: even layers local, odd global (HF is_sliding).
+        assert [cfg.layer_sliding_window(i) for i in range(4)] == [
+            16, None, 16, None,
+        ]
+        from atoma_infer_tpu.models.gemma import Gemma2
+
+        assert get_model_cls("gemma2") is Gemma2
+        assert get_model_cls("Gemma2ForCausalLM") is Gemma2
+
+
+class TestQwen2Registry:
     def test_registry_and_config(self, tmp_path):
         assert "qwen2" in list_models()
         (tmp_path / "config.json").write_text(
