@@ -12,12 +12,21 @@ from typing import Any, Dict, List, Optional
 
 
 def family_for_model(model_id: str) -> str:
-    """Infer the prompt family from the model id (ref: Model enum :28-129)."""
+    """Infer the prompt family from the model id (ref: Model enum :28-129;
+    the non-llama families go beyond the reference enum)."""
     m = model_id.lower()
     if "hermes" in m:
         return "hermes3"
     if "llama-2" in m or "llama2" in m:
         return "llama2"
+    if "gemma" in m:
+        return "gemma"
+    if "mistral" in m or "mixtral" in m:
+        return "mistral"
+    if "phi-3" in m or "phi3" in m:
+        return "phi3"
+    if "qwen" in m:
+        return "chatml"
     # Llama 3.x and most derivatives.
     return "llama3"
 
@@ -122,6 +131,59 @@ def render_hermes3(
     return "".join(out)
 
 
+def render_gemma(messages: List[Dict[str, Any]]) -> str:
+    """``<start_of_turn>user/model`` turns. Gemma has no system role — a
+    system message folds into the first user turn, matching the HF
+    tokenizer_config chat template's behavior for gemma-2 ``-it`` models."""
+    system = ""
+    out = ["<bos>"]
+    for msg in messages:
+        role = msg.get("role")
+        text = _content_str(msg.get("content"))
+        if role == "system":
+            system = text
+            continue
+        if role == "user":
+            body = f"{system}\n\n{text}" if system else text
+            system = ""
+            out.append(f"<start_of_turn>user\n{body}<end_of_turn>\n")
+        elif role == "assistant":
+            out.append(f"<start_of_turn>model\n{text}<end_of_turn>\n")
+    out.append("<start_of_turn>model\n")
+    return "".join(out)
+
+
+def render_mistral(messages: List[Dict[str, Any]]) -> str:
+    """``<s>[INST] ... [/INST] answer</s>`` without llama2's <<SYS>> block —
+    the system message prepends the first user turn (Mistral convention)."""
+    system = ""
+    out = []
+    first_user = True
+    for msg in messages:
+        role = msg.get("role")
+        text = _content_str(msg.get("content"))
+        if role == "system":
+            system = text
+        elif role == "user":
+            body = f"{system}\n\n{text}" if (first_user and system) else text
+            out.append(f"<s>[INST] {body} [/INST]")
+            first_user = False
+        elif role == "assistant":
+            out.append(f" {text}</s>")
+    return "".join(out)
+
+
+def render_phi3(messages: List[Dict[str, Any]]) -> str:
+    """``<|role|>\\n...<|end|>\\n`` turns ending with ``<|assistant|>``."""
+    out = []
+    for msg in messages:
+        role = msg.get("role")
+        text = _content_str(msg.get("content"))
+        out.append(f"<|{role}|>\n{text}<|end|>\n")
+    out.append("<|assistant|>\n")
+    return "".join(out)
+
+
 def render_prompt(
     model_id: str,
     messages: List[Dict[str, Any]],
@@ -132,6 +194,13 @@ def render_prompt(
     family = family_for_model(model_id)
     if family == "llama2":
         return render_llama2(messages)
-    if family == "hermes3":
+    if family == "hermes3" or family == "chatml":
+        # Qwen2 uses plain ChatML; hermes adds tool signatures the same way.
         return render_hermes3(messages, tools)
+    if family == "gemma":
+        return render_gemma(messages)
+    if family == "mistral":
+        return render_mistral(messages)
+    if family == "phi3":
+        return render_phi3(messages)
     return render_llama3(messages, tools)

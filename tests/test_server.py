@@ -176,6 +176,57 @@ class TestChatTemplates:
         out = render_llama3(BODY["messages"], tools)
         assert "get_weather" in out
 
+    def test_beyond_reference_families(self):
+        """gemma/mistral/phi3/qwen templates for the extra registered
+        families (the reference enum is llama/hermes only)."""
+        from atoma_infer_tpu.server.chat_templates import (
+            family_for_model,
+            render_prompt,
+        )
+
+        msgs = [
+            {"role": "system", "content": "Be terse."},
+            {"role": "user", "content": "hi"},
+        ]
+        assert family_for_model("google/gemma-2-9b-it") == "gemma"
+        g = render_prompt("google/gemma-2-9b-it", msgs)
+        # No system role in gemma: folded into the first user turn.
+        assert g.startswith("<bos><start_of_turn>user\nBe terse.\n\nhi")
+        assert g.endswith("<start_of_turn>model\n")
+        assert "system" not in g
+
+        m = render_prompt("mistralai/Mistral-7B-Instruct-v0.3", msgs)
+        assert m.startswith("<s>[INST] Be terse.\n\nhi [/INST]")
+        assert "<<SYS>>" not in m
+
+        p = render_prompt("microsoft/Phi-3-mini-4k-instruct", msgs)
+        assert "<|system|>\nBe terse.<|end|>\n" in p
+        assert p.endswith("<|assistant|>\n")
+
+        q = render_prompt("Qwen/Qwen2.5-7B-Instruct", msgs)
+        assert "<|im_start|>system\nBe terse.<|im_end|>" in q
+        assert q.endswith("<|im_start|>assistant\n")
+
+    def test_multi_turn_gemma_and_mistral(self):
+        from atoma_infer_tpu.server.chat_templates import (
+            render_gemma,
+            render_mistral,
+        )
+
+        msgs = [
+            {"role": "user", "content": "a"},
+            {"role": "assistant", "content": "b"},
+            {"role": "user", "content": "c"},
+        ]
+        g = render_gemma(msgs)
+        assert (
+            "<start_of_turn>user\na<end_of_turn>\n"
+            "<start_of_turn>model\nb<end_of_turn>\n"
+            "<start_of_turn>user\nc<end_of_turn>\n" in g
+        )
+        m = render_mistral(msgs)
+        assert m == "<s>[INST] a [/INST] b</s><s>[INST] c [/INST]"
+
     def test_unknown_model_rejected(self, client):
         c, loop = client
 
