@@ -359,11 +359,10 @@ class Llama:
             )
             attn = attn.reshape(-1, cfg.num_attention_heads * cfg.head_dim)
             hidden = hidden + _linear(attn, lp["o_proj"])
-            # MLP block (ref: llama.rs:362-366).
+            # MLP block (ref: llama.rs:362-366); overridable — mixtral swaps
+            # in the sparse-MoE block.
             normed = rms_norm(hidden, lp["post_norm"], cfg.rms_norm_eps)
-            gate = _linear(normed, lp["gate_proj"])
-            up = _linear(normed, lp["up_proj"])
-            hidden = hidden + _linear(jax.nn.silu(gate) * up, lp["down_proj"])
+            hidden = hidden + self._mlp_block(normed, lp)
             return hidden, kv_c, sc_c
 
         new_kv = []
@@ -380,6 +379,12 @@ class Llama:
             new_scales.append(sc_c)
 
         return self._pack_forward(h, new_kv, new_scales, stacked_in, quantized_kv)
+
+    def _mlp_block(self, normed: jnp.ndarray, lp: Dict[str, Any]) -> jnp.ndarray:
+        """SwiGLU feed-forward on the post-norm activations."""
+        gate = _linear(normed, lp["gate_proj"])
+        up = _linear(normed, lp["up_proj"])
+        return _linear(jax.nn.silu(gate) * up, lp["down_proj"])
 
     def compute_logits(
         self,

@@ -61,6 +61,10 @@ def load_hf_config(model_dir: str) -> LlamaConfig:
         from .gemma import GemmaConfig
 
         return GemmaConfig.from_hf_dict(d)
+    if model_type == "mixtral":
+        from .mixtral import MixtralConfig
+
+        return MixtralConfig.from_hf_dict(d)
     return LlamaConfig.from_hf_dict(d)
 
 
@@ -108,6 +112,33 @@ def load_llama_params(
         key: [None] * L for key, _ in _LAYER_MAP.values()
     }
     top: Dict[str, Any] = {}
+    # Mixtral MoE tensors: router [L,H,E] + per-expert SwiGLU stacks
+    # [L,E,...] (models/mixtral.py layout; experts stay at model dtype —
+    # weight-only quantization currently covers the attention projections).
+    E = int(getattr(config, "num_local_experts", 0) or 0)
+    moe_router: List[Optional[np.ndarray]] = [None] * L
+    moe_experts: Dict[str, List[List[Optional[np.ndarray]]]] = {
+        w: [[None] * E for _ in range(L)] for w in ("w1", "w2", "w3")
+    }
+
+    def take_moe(idx: int, param: str, arr: np.ndarray) -> bool:
+        """Route a ``block_sparse_moe.*`` tensor; True if consumed."""
+        if not param.startswith("block_sparse_moe."):
+            return False
+        rest = param[len("block_sparse_moe.") :]
+        if rest == "gate.weight":
+            moe_router[idx] = arr.T          # [E,H] → [H,E]
+        elif rest.startswith("experts."):
+            eidx_str, wname = rest[len("experts.") :].split(".", 1)
+            wname = wname.removesuffix(".weight")
+            if wname not in moe_experts:
+                logger.warning("skipping unknown expert tensor %s", rest)
+                return True
+            # HF Linear stores [out,in]; all three transpose to [in,out].
+            moe_experts[wname][idx][int(eidx_str)] = arr.T
+        else:
+            logger.warning("skipping unknown moe tensor %s", rest)
+        return True
 
     def tensors_from(f):
         """Yield (name, array), splitting phi3's fused qkv/gate_up tensors
