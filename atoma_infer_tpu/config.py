@@ -249,9 +249,22 @@ class SchedulerConfig:
     # Host-side native (C++) block-manager core; falls back to the Python
     # implementation when the toolchain is unavailable.
     use_native_core: bool = True
+    # Speculative decoding (engine/spec_decode.py): 0 disables; N > 0 drafts
+    # up to N tokens per greedy decode step by n-gram prompt lookup and
+    # verifies them in one forward. (The reference carries only spec-decode
+    # metric types — sequence.rs:2131-2154; this makes the feature real.)
+    num_speculative_tokens: int = 0
+    spec_ngram_max: int = 3
+    spec_ngram_min: int = 1
 
     def __post_init__(self) -> None:
         # Invariant checks (ref: config.rs:388-406).
+        if self.num_speculative_tokens < 0:
+            raise ValueError("num_speculative_tokens must be >= 0")
+        if self.num_speculative_tokens and not (
+            1 <= self.spec_ngram_min <= self.spec_ngram_max
+        ):
+            raise ValueError("need 1 <= spec_ngram_min <= spec_ngram_max")
         if self.max_num_batched_tokens < self.max_num_sequences:
             raise ValueError(
                 f"max_num_batched_tokens ({self.max_num_batched_tokens}) must be "
@@ -294,6 +307,18 @@ class EngineConfig:
     cache: CacheConfig
     scheduler: SchedulerConfig
     validation: ValidationConfig
+
+    def __post_init__(self) -> None:
+        # Cross-section invariants.
+        if (
+            self.scheduler.num_speculative_tokens
+            and self.model.pipeline_parallel_size > 1
+        ):
+            raise ValueError(
+                "speculative decoding is not supported with pipeline "
+                "parallelism (num_speculative_tokens requires "
+                "pipeline_parallel_size == 1)"
+            )
 
     @classmethod
     def from_file_path(cls, path: str) -> "EngineConfig":

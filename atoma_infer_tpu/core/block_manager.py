@@ -169,18 +169,50 @@ class BlockSpaceManager:
         per step (ref: block_manager.rs:254-283)."""
         num_free = self.device_allocator.get_num_free_blocks()
         num_running = seq_group.num_seqs(SequenceStatus.RUNNING)
-        return num_running * (1 + num_lookahead_slots) <= num_free
+        # Worst case per seq: one block for the normal append, plus the span
+        # of the lookahead (speculative) slots, plus one CoW copy.
+        blocks_per_seq = 1 + -(-num_lookahead_slots // self.block_size)
+        if num_lookahead_slots:
+            blocks_per_seq += 1
+        return num_running * blocks_per_seq <= num_free
 
-    def append_slots(self, seq: Sequence) -> List[Tuple[int, int]]:
-        """Ensure a physical slot exists for the sequence's next token.
+    def append_slots(
+        self, seq: Sequence, num_lookahead_slots: int = 0
+    ) -> List[Tuple[int, int]]:
+        """Ensure physical slots exist for the sequence's next token plus
+        ``num_lookahead_slots`` speculative tokens (engine/spec_decode.py
+        drafts; the extra slots hold drafted tokens' KV during verification
+        and are rewritten at the positions rejected drafts occupied).
 
-        Returns copy-on-write (src_block, dst_block) pairs when a shared last
-        block had to be copied (ref: block_manager.rs:294-377).
+        Returns copy-on-write (src_block, dst_block) pairs when a shared
+        block the new tokens land in had to be copied
+        (ref: block_manager.rs:294-377).
         """
         table = self.block_tables[seq.seq_id]
-        num_logical = seq.num_logical_blocks
+        num_logical = -(
+            -(seq.get_len() + num_lookahead_slots) // self.block_size
+        )
+        if self.block_sliding_window is not None:
+            num_logical = max(num_logical, len(table))
 
-        if len(table) < num_logical:
+        # Copy-on-write any shared existing block the new tokens land in
+        # (without lookahead this is exactly the reference's last-block
+        # check; lookahead can span into the next block too).
+        cows: List[Tuple[int, int]] = []
+        first_write = (seq.get_len() - 1) // self.block_size
+        if self.block_sliding_window is not None:
+            first_write = min(first_write, len(table) - 1)
+        for idx in range(first_write, min(num_logical, len(table))):
+            block = table[idx]
+            assert block.device is BlockDevice.DEVICE
+            if block.ref_count == 1:
+                continue
+            new_block = self.device_allocator.allocate()
+            table[idx] = new_block
+            self.device_allocator.free(block)
+            cows.append((block.block_number, new_block.block_number))
+
+        while len(table) < num_logical:
             if (
                 self.block_sliding_window is not None
                 and len(table) >= self.block_sliding_window
@@ -189,17 +221,7 @@ class BlockSpaceManager:
                 table.append(table[len(table) % self.block_sliding_window])
             else:
                 table.append(self.device_allocator.allocate())
-            return []
-
-        # The token lands in the existing last block; copy it first if shared.
-        last = table[-1]
-        assert last.device is BlockDevice.DEVICE
-        if last.ref_count == 1:
-            return []
-        new_block = self.device_allocator.allocate()
-        table[-1] = new_block
-        self.device_allocator.free(last)
-        return [(last.block_number, new_block.block_number)]
+        return cows
 
     # ------------------------------------------------------------------- fork
     def fork(self, parent: Sequence, child: Sequence) -> None:

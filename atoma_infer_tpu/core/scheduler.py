@@ -203,6 +203,18 @@ class Scheduler:
             ),
         )
         self.policy = policy or FcfsPolicy()
+        # Speculative decoding: n-gram prompt-lookup proposer (drafts are
+        # scheduled as extra decode tokens + lookahead KV slots; the worker
+        # verifies them in the same forward — engine/spec_decode.py).
+        self.spec_proposer = None
+        if getattr(scheduler_config, "num_speculative_tokens", 0) > 0:
+            from ..engine.spec_decode import NgramProposer
+
+            self.spec_proposer = NgramProposer(
+                scheduler_config.num_speculative_tokens,
+                ngram_max=scheduler_config.spec_ngram_max,
+                ngram_min=scheduler_config.spec_ngram_min,
+            )
         self.waiting: Deque[SequenceGroup] = deque()
         self.running: Deque[SequenceGroup] = deque()
         self.swapped: Deque[SequenceGroup] = deque()
@@ -297,6 +309,11 @@ class Scheduler:
                 if token_chunk_size + computed < seqs[0].get_len():
                     do_sample = False
 
+            spec_token_ids = None
+            if not is_prompt:
+                spec_token_ids = getattr(group, "_spec_tokens", None)
+                group._spec_tokens = None
+
             metadata_list.append(
                 SequenceGroupMetadata(
                     request_id=group.request_id,
@@ -310,6 +327,7 @@ class Scheduler:
                     computed_block_nums=computed_block_nums,
                     logprobs=group.logprobs,
                     top_n_tokens=getattr(group, "top_n_tokens", 0),
+                    spec_token_ids=spec_token_ids,
                 )
             )
         return metadata_list, outputs
@@ -604,8 +622,33 @@ class Scheduler:
                 running_queue.clear()
                 break
 
+            # Speculative drafts ride the decode step as extra tokens
+            # (clamped to the remaining budget) + lookahead KV slots.
+            group._spec_tokens = None
+            num_spec = 0
+            if self.spec_proposer is not None and not group.is_prefill():
+                from ..engine.spec_decode import eligible_group
+
+                if eligible_group(group):
+                    seq = group.get_seqs(SequenceStatus.RUNNING)[0]
+                    drafts = self.spec_proposer.propose(
+                        seq.sequence_data.get_token_ids(),
+                        # Clamp to the step budget AND the model length so
+                        # draft positions never exceed max_model_len.
+                        max_len=min(
+                            budget.remaining_token_budget()
+                            - num_running_tokens,
+                            self.scheduler_config.max_model_len
+                            - seq.get_len(),
+                        ),
+                    )
+                    if drafts:
+                        group._spec_tokens = drafts
+                        num_spec = len(drafts)
+                        num_running_tokens += num_spec
+
             scheduled_this_group = True
-            while not self.block_manager.can_append_slots(group):
+            while not self.block_manager.can_append_slots(group, num_spec):
                 budget.subtract_num_batched_tokens(
                     group.request_id, num_running_tokens
                 )
@@ -636,7 +679,7 @@ class Scheduler:
             if not scheduled_this_group:
                 continue
 
-            self._append_slots(group, out.blocks_to_copy)
+            self._append_slots(group, out.blocks_to_copy, num_spec)
             new_running.append(group)
             if group.is_prefill():
                 # A chunked prefill continuing from the running queue.
@@ -765,10 +808,15 @@ class Scheduler:
 
     # ------------------------------------------------------------------- helpers
     def _append_slots(
-        self, group: SequenceGroup, blocks_to_copy: List[Tuple[int, int]]
+        self,
+        group: SequenceGroup,
+        blocks_to_copy: List[Tuple[int, int]],
+        num_lookahead_slots: int = 0,
     ) -> None:
         for seq in group.get_seqs(SequenceStatus.RUNNING):
-            blocks_to_copy.extend(self.block_manager.append_slots(seq))
+            blocks_to_copy.extend(
+                self.block_manager.append_slots(seq, num_lookahead_slots)
+            )
 
     def _get_num_new_tokens(
         self,

@@ -54,6 +54,11 @@ class ModelInput:
     seq_ids: List[int]           # actual seq ids, scheduler order
     request_ids: List[str]       # owning request per scheduled seq
     num_prefills: int
+    # Speculative decoding (engine/spec_decode.py) — present only when at
+    # least one scheduled sequence carries drafts this step:
+    spec_rows: Optional[np.ndarray] = None   # [S, K+1] int32 verify rows
+    spec_draft: Optional[np.ndarray] = None  # [S, K] int32 drafts (-1 pad)
+    spec_k: Optional[np.ndarray] = None      # [S] int32 draft count (0=off)
 
     def attention_metadata(self, block_size: int) -> AttentionMetadata:
         import jax.numpy as jnp
@@ -67,7 +72,9 @@ class ModelInput:
             block_size=block_size,
             # Static per-bucket flag: pure decode steps take the fused
             # KV-write attention kernel (one query token per sequence).
-            decode_only=self.num_prefills == 0,
+            # Speculative-verification steps carry (1+k)-token chunks, so
+            # they must use the general ragged kernel instead.
+            decode_only=self.num_prefills == 0 and self.spec_rows is None,
         )
 
 
@@ -79,6 +86,7 @@ def prepare_model_input(
     max_num_seqs: int,
     max_pages_per_seq: int,
     sliding_window: Optional[int] = None,
+    num_spec_tokens: int = 0,
 ) -> ModelInput:
     """Flatten one step's scheduled groups into bucketed batch arrays.
 
@@ -96,6 +104,8 @@ def prepare_model_input(
     request_ids: List[str] = []
     num_prefills = 0
 
+    spec_lists: List[List[int]] = []
+
     for meta in metadata_list:
         if meta.is_prompt:
             num_prefills += 1
@@ -108,6 +118,16 @@ def prepare_model_input(
                 chunk = 1
             all_tokens = seq_data.get_token_ids()
             new_tokens = all_tokens[computed : computed + chunk]
+            drafts = (
+                list(meta.spec_token_ids)
+                if (not meta.is_prompt and meta.spec_token_ids)
+                else []
+            )
+            if drafts:
+                # Verify chunk: [last_token] + drafted tokens, one ragged
+                # chunk (same kernel path as chunked prefill).
+                new_tokens = list(new_tokens) + drafts
+            spec_lists.append(drafts)
             kv_len = computed + len(new_tokens)
 
             token_ids.extend(new_tokens)
@@ -172,6 +192,25 @@ def prepare_model_input(
     smask = np.zeros(S, dtype=bool)
     smask[:num_seqs] = sample_mask
 
+    # Speculative verification arrays (only when any seq drafted): rows to
+    # sample at per seq — its (1+k) chunk rows, last row replicated to K+1
+    # so the gather shape is static per bucket.
+    spec_rows = spec_draft = spec_k = None
+    if any(spec_lists):
+        K = max(1, num_spec_tokens)
+        spec_rows = np.zeros((S, K + 1), dtype=np.int32)
+        spec_draft = np.full((S, K), -1, dtype=np.int32)
+        spec_k = np.zeros(S, dtype=np.int32)
+        for i in range(num_seqs):
+            start = qsl[i]
+            q_len = qsl[i + 1] - start
+            j = np.arange(K + 1)
+            spec_rows[i] = start + np.minimum(j, q_len - 1)
+            k_i = min(len(spec_lists[i]), K)
+            if k_i:
+                spec_draft[i, :k_i] = spec_lists[i][:k_i]
+                spec_k[i] = k_i
+
     return ModelInput(
         token_ids=tok,
         positions=pos,
@@ -185,4 +224,7 @@ def prepare_model_input(
         seq_ids=seq_ids,
         request_ids=request_ids,
         num_prefills=num_prefills,
+        spec_rows=spec_rows,
+        spec_draft=spec_draft,
+        spec_k=spec_k,
     )

@@ -316,7 +316,14 @@ class LlmEngine:
             out = group_outputs.get(meta.request_id)
             if out is None:
                 continue
-            group.update_num_computed_tokens(meta.token_chunk_size)
+            # Speculative steps advance by however many tokens verification
+            # accepted (engine/spec_decode.py) — applied AFTER the appends
+            # below, because the group-level update clamps to the sequence's
+            # uncomputed count (1 before any append during decode). Normal
+            # steps advance by the scheduled chunk here, pre-append.
+            spec_advance = out.num_computed_advance
+            if spec_advance is None:
+                group.update_num_computed_tokens(meta.token_chunk_size)
             group.metrics.last_token_time = now
 
             if not meta.do_sample:
@@ -328,6 +335,8 @@ class LlmEngine:
                 if seq is None or seq.is_finished():
                     continue
                 self._update_sequence(group, seq, seq_out, scheduler)
+            if spec_advance is not None:
+                group.update_num_computed_tokens(spec_advance)
 
             if group.is_finished():
                 finished.append(self._finish_group(group))
@@ -336,47 +345,61 @@ class LlmEngine:
     def _update_sequence(
         self, group: SequenceGroup, seq: Sequence, seq_out, scheduler=None
     ) -> None:
-        """Append token, detokenize, stop checks (ref: llm_engine.rs:367-521)."""
+        """Append token(s), detokenize, stop checks (ref:
+        llm_engine.rs:367-521). Speculative steps (engine/spec_decode.py)
+        contribute several verified tokens at once; each is appended and
+        stop-checked in order, exactly as if decoded on separate steps."""
         scheduler = scheduler or self.scheduler
-        seq.append_token_id(seq_out.output_token, seq_out.logprob)
-        if seq_out.top_tokens is not None:
-            seq.output_logprobs[-1].top_tokens = seq_out.top_tokens
-        metrics.GENERATED_TOKENS.inc()
-        new_text = self.detokenizer.decode_sequence_inplace(seq)
-
-        stopping = group.stopping_criteria
+        step_text_parts: list = []
         finish_reason: Optional[str] = None
+        last_token = seq_out.output_token
+        last_logprob = seq_out.logprob
 
-        # Stop strings: truncate at the earliest stop match
-        # (ref: llm_engine.rs:438-460). Incremental: only the tail that a
-        # match could newly span (new text + longest stop − 1) is searched,
-        # not the whole output each token — O(stop_len) per step.
-        for stop_str in stopping.stop_sequences:
-            search_from = max(
-                0, len(seq.output_text) - len(new_text) - len(stop_str) + 1
-            )
-            idx = seq.output_text.find(stop_str, search_from)
-            if idx != -1:
-                seq.output_text = seq.output_text[:idx]
-                seq.status = SequenceStatus.FINISHED_STOPPED
-                seq.stop_reason = stop_str
-                finish_reason = "stop_sequence"
+        for tok_idx, (token_id, logprob) in enumerate(seq_out.all_tokens):
+            last_token, last_logprob = token_id, logprob
+            seq.append_token_id(token_id, logprob)
+            if tok_idx == 0 and seq_out.top_tokens is not None:
+                seq.output_logprobs[-1].top_tokens = seq_out.top_tokens
+            metrics.GENERATED_TOKENS.inc()
+            new_text = self.detokenizer.decode_sequence_inplace(seq)
+            step_text_parts.append(new_text)
+
+            stopping = group.stopping_criteria
+
+            # Stop strings: truncate at the earliest stop match
+            # (ref: llm_engine.rs:438-460). Incremental: only the tail that
+            # a match could newly span (new text + longest stop − 1) is
+            # searched, not the whole output each token — O(stop_len)/step.
+            for stop_str in stopping.stop_sequences:
+                search_from = max(
+                    0,
+                    len(seq.output_text) - len(new_text) - len(stop_str) + 1,
+                )
+                idx = seq.output_text.find(stop_str, search_from)
+                if idx != -1:
+                    seq.output_text = seq.output_text[:idx]
+                    seq.status = SequenceStatus.FINISHED_STOPPED
+                    seq.stop_reason = stop_str
+                    finish_reason = "stop_sequence"
+                    break
+
+            if finish_reason is None:
+                if (
+                    not stopping.ignore_eos_token
+                    and token_id in self.eos_token_ids
+                ):
+                    seq.status = SequenceStatus.FINISHED_STOPPED
+                    seq.stop_reason = token_id
+                    finish_reason = "eos_token"
+                elif seq.get_output_len() >= stopping.max_new_tokens:
+                    seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                    finish_reason = "length"
+                elif seq.get_len() >= self.max_model_len:
+                    seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                    finish_reason = "model_length"
+
+            if seq.is_finished():
                 break
-
-        if finish_reason is None:
-            if (
-                not stopping.ignore_eos_token
-                and seq_out.output_token in self.eos_token_ids
-            ):
-                seq.status = SequenceStatus.FINISHED_STOPPED
-                seq.stop_reason = seq_out.output_token
-                finish_reason = "eos_token"
-            elif seq.get_output_len() >= stopping.max_new_tokens:
-                seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
-                finish_reason = "length"
-            elif seq.get_len() >= self.max_model_len:
-                seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
-                finish_reason = "model_length"
 
         if seq.is_finished():
             scheduler.free_seq(seq)
@@ -387,10 +410,10 @@ class LlmEngine:
                 queue,
                 StreamChunk(
                     request_id=group.request_id,
-                    text=new_text,
+                    text="".join(step_text_parts),
                     full_text=seq.output_text,
-                    token_id=seq_out.output_token,
-                    logprob=seq_out.logprob,
+                    token_id=last_token,
+                    logprob=last_logprob,
                     finished=seq.is_finished(),
                     finish_reason=finish_reason,
                 ),

@@ -376,6 +376,16 @@ class LlmService:
                 "(the native core does not implement content-hash caching)"
             )
             return None
+        if (
+            config.scheduler.use_native_core
+            and config.scheduler.num_speculative_tokens
+        ):
+            logger.info(
+                "speculative decoding enabled — using the Python block "
+                "manager (lookahead slots spanning shared blocks need its "
+                "multi-block copy-on-write)"
+            )
+            return None
         if not config.scheduler.use_native_core:
             return None
         try:

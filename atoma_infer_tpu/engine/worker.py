@@ -31,6 +31,7 @@ from ..sequence import (
 from .cache_engine import CacheEngine
 from .input_prep import prepare_model_input
 from .sampler import PENALTY_WINDOW, SamplingTensors, sample
+from ..server import metrics
 from ..utils.tracing import instrument
 
 logger = logging.getLogger(__name__)
@@ -45,20 +46,37 @@ class PendingStep:
     these per cohort in flight so pipeline stages overlap across cohorts.
     """
 
-    def __init__(self, metadata, tokens, logprobs, top_out, t0: float):
+    def __init__(
+        self,
+        metadata,
+        tokens,
+        logprobs,
+        top_out,
+        t0: float,
+        spec_draft=None,
+        spec_k=None,
+    ):
         self._metadata = metadata
         self._tokens = tokens
         self._logprobs = logprobs
         self._top_out = top_out
         self._t0 = t0
+        self._spec_draft = spec_draft  # [S, K] host drafts (-1 pad) | None
+        self._spec_k = spec_k          # [S] draft counts | None
 
     def complete(self) -> Dict[str, SequenceGroupOutput]:
         tokens_np = np.asarray(self._tokens)
         logprobs_np = np.asarray(self._logprobs)
+        spec = self._spec_k is not None  # [S, K+1] layout this step
         top_ids_np = top_lps_np = None
         if self._top_out is not None:
             top_ids_np = np.asarray(self._top_out[0])
             top_lps_np = np.asarray(self._top_out[1])
+            if spec:
+                # Verification layout [S, K+1, n]: row 0 is the real
+                # last-token distribution.
+                top_ids_np = top_ids_np[:, 0]
+                top_lps_np = top_lps_np[:, 0]
         elapsed = time.monotonic() - self._t0
 
         # Package per-group outputs (ref: model_executor.rs:339-354).
@@ -66,6 +84,7 @@ class PendingStep:
         i = 0
         for meta in self._metadata:
             seq_outputs: Dict[int, SequenceOutput] = {}
+            advance = None
             for seq_id in meta.seq_data:
                 top_tokens = None
                 if top_ids_np is not None and meta.top_n_tokens > 0:
@@ -74,16 +93,46 @@ class PendingStep:
                         (int(top_ids_np[i, j]), float(top_lps_np[i, j]))
                         for j in range(n)
                     ]
+                extra = None
+                if spec:
+                    first = int(tokens_np[i, 0])
+                    first_lp = float(logprobs_np[i, 0])
+                    k_i = int(self._spec_k[i])
+                    if k_i:
+                        # Greedy acceptance: the model's token at draft
+                        # position j must equal the draft; the first
+                        # mismatch position contributes the bonus token
+                        # (exactly reproduces non-speculative greedy).
+                        m = 0
+                        while (
+                            m < k_i
+                            and int(tokens_np[i, m])
+                            == int(self._spec_draft[i, m])
+                        ):
+                            m += 1
+                        extra = [
+                            (int(tokens_np[i, j]), float(logprobs_np[i, j]))
+                            for j in range(1, m + 1)
+                        ]
+                        metrics.SPEC_PROPOSED.inc(k_i)
+                        metrics.SPEC_ACCEPTED.inc(m)
+                        advance = 1 + m
+                else:
+                    first = int(tokens_np[i])
+                    first_lp = float(logprobs_np[i])
                 seq_outputs[seq_id] = SequenceOutput(
                     parent_seq_id=seq_id,
-                    output_token=int(tokens_np[i]),
-                    logprob=float(logprobs_np[i]),
+                    output_token=first,
+                    logprob=first_lp,
                     is_new_token=meta.do_sample,
                     top_tokens=top_tokens,
+                    extra_tokens=extra or None,
                 )
                 i += 1
             outputs[meta.request_id] = SequenceGroupOutput(
-                outputs=seq_outputs, time_to_generate=elapsed
+                outputs=seq_outputs,
+                time_to_generate=elapsed,
+                num_computed_advance=advance,
             )
         return outputs
 
@@ -116,6 +165,7 @@ class ModelWorker:
                 "needs_penalties",
                 "needs_typical",
                 "top_n",
+                "spec",
             ),
             donate_argnames=("kv_cache", "kv_scales"),
         )
@@ -137,6 +187,7 @@ class ModelWorker:
         needs_penalties: bool,
         needs_typical: bool,
         top_n: int,
+        spec: bool = False,     # static: speculative-verification layout
     ):
         if kv_scales is not None:
             hidden, kv_cache, kv_scales = self.model.forward(
@@ -147,9 +198,19 @@ class ModelWorker:
             hidden, kv_cache = self.model.forward(
                 params, token_ids, positions, kv_cache, attn_meta
             )
-        # Last-token rows only, before the LM head (ref: llama.rs:474-477).
-        sel = hidden[selected_token_indices]
-        logits = self.model.compute_logits(params, sel)  # [S, V] f32
+        if spec:
+            # Speculative verification: selected_token_indices is [S, K+1]
+            # verify rows (engine/spec_decode.py); sample every row with the
+            # owning sequence's parameters, return [S, K+1] tokens.
+            S, K1 = selected_token_indices.shape
+            sel = hidden[selected_token_indices.reshape(-1)]
+            rep = lambda x: jnp.repeat(x, K1, axis=0)  # noqa: E731
+            sampling = {k: rep(v) for k, v in sampling.items()}
+            step = rep(step)
+        else:
+            # Last-token rows only, before the LM head (ref: llama.rs:474-477).
+            sel = hidden[selected_token_indices]
+        logits = self.model.compute_logits(params, sel)  # [rows, V] f32
         tokens, logprobs, top_tokens = sample(
             logits,
             temperature=sampling["temperature"],
@@ -167,6 +228,13 @@ class ModelWorker:
             needs_typical=needs_typical,
             top_n=top_n,
         )
+        if spec:
+            tokens = tokens.reshape(S, K1)
+            logprobs = logprobs.reshape(S, K1)
+            if top_tokens is not None:
+                top_tokens = tuple(
+                    t.reshape(S, K1, -1) for t in top_tokens
+                )
         return kv_cache, kv_scales, tokens, logprobs, top_tokens
 
     # ------------------------------------------------------------------ public
@@ -206,6 +274,9 @@ class ModelWorker:
             max_num_seqs=self.scheduler_config.max_num_sequences,
             max_pages_per_seq=self.max_pages_per_seq,
             sliding_window=self.cache_config.sliding_window,
+            num_spec_tokens=getattr(
+                self.scheduler_config, "num_speculative_tokens", 0
+            ),
         )
         S = model_input.seq_lens.shape[0]
 
@@ -250,13 +321,24 @@ class ModelWorker:
         )
         self._step_counter += 1
         return PendingStep(
-            request.sequence_groups_metadata, tokens, logprobs, top_out, t0
+            request.sequence_groups_metadata,
+            tokens,
+            logprobs,
+            top_out,
+            t0,
+            spec_draft=model_input.spec_draft,
+            spec_k=model_input.spec_k,
         )
 
     def _invoke(self, model_input, sampling_arrays, sample_steps, sampling):
         """Run the jitted step; update the cache-engine buffer refs; return
         the (device-array) sampled tokens/logprobs/top-n. Overridden by the
         pipelined worker to chain per-stage programs."""
+        spec = model_input.spec_rows is not None
+        selected = (
+            model_input.spec_rows if spec
+            else model_input.selected_token_indices
+        )
         kv_cache, kv_scales, tokens, logprobs, top_out = self._step_fn(
             self.params,
             self.cache_engine.kv_cache,
@@ -264,13 +346,14 @@ class ModelWorker:
             jnp.asarray(model_input.token_ids),
             jnp.asarray(model_input.positions),
             model_input.attention_metadata(self.cache_config.block_size),
-            jnp.asarray(model_input.selected_token_indices),
+            jnp.asarray(selected),
             sampling_arrays,
             jnp.asarray(sample_steps),
             needs_sampling=sampling.needs_sampling,
             needs_penalties=sampling.needs_penalties,
             needs_typical=sampling.needs_typical,
             top_n=sampling.top_n,
+            spec=spec,
         )
         self.cache_engine.kv_cache = kv_cache
         if kv_scales is not None:

@@ -89,6 +89,7 @@ async def main_async(args) -> None:
             max_num_sequences=args.max_seqs,
             max_model_len=args.max_model_len,
             enable_chunked_prefill=args.chunked_prefill,
+            num_speculative_tokens=args.spec_tokens,
         ),
         validation=ValidationConfig(
             max_input_tokens=args.max_model_len - 1,
@@ -137,6 +138,16 @@ async def main_async(args) -> None:
         f"== {len(futures)} requests, {total_tokens} tokens in {dt:.2f}s "
         f"({total_tokens / dt:.1f} tok/s)"
     )
+    if args.spec_tokens:
+        from ..server import metrics
+
+        prop = metrics.SPEC_PROPOSED.value
+        acc = metrics.SPEC_ACCEPTED.value
+        rate = (acc / prop * 100) if prop else 0.0
+        print(
+            f"== speculative: {prop:.0f} drafted, {acc:.0f} accepted "
+            f"({rate:.0f}%)"
+        )
     service.stop()
     engine_task.cancel()
 
@@ -156,6 +167,11 @@ def main() -> None:
     parser.add_argument("--max-seqs", type=int, default=64)
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--chunked-prefill", action="store_true")
+    parser.add_argument(
+        "--spec-tokens", type=int, default=0,
+        help="speculative decoding: draft up to N tokens per greedy decode "
+             "step by n-gram prompt lookup (engine/spec_decode.py)",
+    )
     parser.add_argument(
         "--cpu", action="store_true",
         help="force the CPU backend (env vars are too late: jax may be "

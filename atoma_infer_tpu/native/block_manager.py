@@ -96,16 +96,31 @@ class NativeBlockSpaceManager:
             self._lib.abm_can_append_slots(self._h, n, num_lookahead_slots)
         )
 
-    def append_slots(self, seq: Sequence) -> List[Tuple[int, int]]:
-        pair = (ctypes.c_int32 * 2)()
-        rc = self._lib.abm_append_slot(
-            self._h, seq.seq_id, seq.num_logical_blocks, pair
+    def append_slots(
+        self, seq: Sequence, num_lookahead_slots: int = 0
+    ) -> List[Tuple[int, int]]:
+        num_logical = max(
+            seq.num_logical_blocks,
+            -(-(seq.get_len() + num_lookahead_slots) // self.block_size),
         )
-        if rc < 0:
-            raise RuntimeError("native append_slot failed")
-        if rc == 1:
-            return [(pair[0], pair[1])]
-        return []
+        # The C core appends one block (or CoWs a full table's last block)
+        # per call; with lookahead we drive it to the target table length.
+        # NOTE: lookahead spanning a SHARED landing block is only CoW-correct
+        # in the Python manager — the service forces it whenever speculative
+        # decoding is enabled (spec groups are single-sequence, so sharing
+        # cannot arise, but the invariant is enforced centrally).
+        cur = len(self.get_block_table_ids(seq.seq_id))
+        cows: List[Tuple[int, int]] = []
+        for _ in range(max(1, num_logical - cur)):
+            pair = (ctypes.c_int32 * 2)()
+            rc = self._lib.abm_append_slot(
+                self._h, seq.seq_id, num_logical, pair
+            )
+            if rc < 0:
+                raise RuntimeError("native append_slot failed")
+            if rc == 1:
+                cows.append((pair[0], pair[1]))
+        return cows
 
     # ------------------------------------------------------------------ fork
     def fork(self, parent: Sequence, child: Sequence) -> None:

@@ -435,6 +435,10 @@ class SequenceGroupMetadata:
     computed_block_nums: Optional[List[int]] = None
     logprobs: bool = False
     top_n_tokens: int = 0
+    # Speculative decoding (engine/spec_decode.py): drafted token ids for
+    # this decode step (single-sequence groups only). The worker feeds
+    # [last_token] + drafts as one (1+k)-token chunk and verifies.
+    spec_token_ids: Optional[List[int]] = None
 
 
 @dataclasses.dataclass
@@ -448,6 +452,17 @@ class SequenceOutput:
     # Top-n alternative (token_id, logprob) pairs for this step
     # (TGI-style top_n_tokens; absent unless requested).
     top_tokens: Optional[List[tuple]] = None
+    # Speculative decoding: accepted (token_id, logprob) pairs BEYOND
+    # output_token — the verified drafts plus the bonus token, in order.
+    extra_tokens: Optional[List[tuple]] = None
+
+    @property
+    def all_tokens(self) -> List[tuple]:
+        """All (token_id, logprob) pairs this step, first token included."""
+        out = [(self.output_token, self.logprob)]
+        if self.extra_tokens:
+            out.extend(self.extra_tokens)
+        return out
 
 
 @dataclasses.dataclass
@@ -458,6 +473,10 @@ class SequenceGroupOutput:
     outputs: Dict[int, SequenceOutput]
     sampled_token_ids: Optional[object] = None
     time_to_generate: Optional[float] = None
+    # Speculative decoding: how far num_computed_tokens advances this step
+    # (= tokens appended); None means meta.token_chunk_size, the
+    # non-speculative contract.
+    num_computed_advance: Optional[int] = None
 
 
 @dataclasses.dataclass

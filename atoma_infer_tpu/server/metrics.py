@@ -139,3 +139,11 @@ RUNNING_SEQS = REGISTRY.gauge(
 GENERATED_TOKENS = REGISTRY.counter(
     "engine_generated_tokens_total", "Total generated tokens"
 )
+SPEC_PROPOSED = REGISTRY.counter(
+    "engine_spec_tokens_proposed_total",
+    "Speculative tokens drafted (engine/spec_decode.py)",
+)
+SPEC_ACCEPTED = REGISTRY.counter(
+    "engine_spec_tokens_accepted_total",
+    "Speculative tokens accepted by verification",
+)
