@@ -170,6 +170,8 @@ def load_llama_params(
                 elif name.startswith("model.layers."):
                     rest = name[len("model.layers.") :]
                     idx_str, param = rest.split(".", 1)
+                    if E and take_moe(int(idx_str), param, arr):
+                        continue
                     mapped = _LAYER_MAP.get(param)
                     if mapped is None:
                         logger.warning("skipping unknown tensor %s", name)
@@ -181,10 +183,16 @@ def load_llama_params(
 
     bits = {"int8": 8, "int4": 4}.get(quantization or "")
     layers: Dict[str, Any] = {}
+    # MoE checkpoints replace the dense MLP with router+experts entirely.
+    moe_replaced = (
+        frozenset({"gate_proj", "up_proj", "down_proj"}) if E else frozenset()
+    )
     for key, tensors in per_layer.items():
         missing = [i for i, t in enumerate(tensors) if t is None]
-        if key in _OPTIONAL_KEYS and len(missing) == len(tensors):
-            continue  # bias-free family (llama/mistral/phi3)
+        if (
+            key in _OPTIONAL_KEYS or key in moe_replaced
+        ) and len(missing) == len(tensors):
+            continue  # bias-free family (llama/mistral/phi3) / MoE
         if missing:
             raise ValueError(f"missing layer tensors for {key}: {missing}")
         stacked = np.stack(tensors)
@@ -198,6 +206,27 @@ def load_llama_params(
             )
         else:
             layers[key] = jnp.asarray(stacked, dtype=dtype)
+
+    if E:
+        missing_r = [i for i, t in enumerate(moe_router) if t is None]
+        if missing_r:
+            raise ValueError(f"missing MoE router tensors: {missing_r}")
+        layers["router"] = jnp.asarray(np.stack(moe_router), dtype=dtype)
+        for wname, per_layer_experts in moe_experts.items():
+            missing_e = [
+                (i, j)
+                for i, row in enumerate(per_layer_experts)
+                for j, t in enumerate(row)
+                if t is None
+            ]
+            if missing_e:
+                raise ValueError(
+                    f"missing MoE expert tensors for {wname}: {missing_e}"
+                )
+            layers[wname] = jnp.asarray(
+                np.stack([np.stack(row) for row in per_layer_experts]),
+                dtype=dtype,
+            )
 
     params: Dict[str, Any] = {
         "embed": jnp.asarray(top["embed"], dtype=dtype),

@@ -35,6 +35,8 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def _spec_for_linear(mesh: Mesh, key: str, value) -> Any:
     """Sharding for one stacked linear [L, in, out] (dense or quantized)."""
+    if key in ("w1", "w2", "w3", "router"):
+        return _spec_for_moe(mesh, key, value)
     if key in ("q_bias", "k_bias", "v_bias"):
         # Additive biases on column-parallel projections: shard the output
         # dim like the matmul result they add to.
@@ -61,6 +63,28 @@ def _spec_for_linear(mesh: Mesh, key: str, value) -> Any:
     if col_parallel:
         return NamedSharding(mesh, P(None, None, TP_AXIS))
     return NamedSharding(mesh, P(None, TP_AXIS, None))
+
+
+def _spec_for_moe(mesh: Mesh, key: str, value) -> Any:
+    """Expert parallelism for Mixtral MoE stacks (models/mixtral.py; the
+    reference has no MoE — README Roadmap #6, SURVEY §2.6 EP row: NO).
+
+    The expert axis E partitions over the tp mesh axis when divisible —
+    each shard holds E/tp whole experts, computes their SwiGLU einsums
+    locally, and the final ``te,teh->th`` mix contracts the sharded expert
+    axis, which XLA lowers to a psum over ICI (one collective per layer,
+    the same count as tensor-parallel row-linears). When E does not divide
+    (mesh wider than the expert count) the intermediate dim shards instead
+    — plain tensor parallelism inside every expert."""
+    if key == "router":
+        return replicated(mesh)  # [L, H, E] — tiny, read by every shard
+    tp = mesh.shape.get(TP_AXIS, 1)
+    E = value.shape[1]
+    if E % tp == 0:
+        return NamedSharding(mesh, P(None, TP_AXIS, None, None))
+    if key in ("w1", "w3"):  # [L, E, H, I]: column-parallel inside experts
+        return NamedSharding(mesh, P(None, None, None, TP_AXIS))
+    return NamedSharding(mesh, P(None, None, TP_AXIS, None))  # w2 [L,E,I,H]
 
 
 def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:

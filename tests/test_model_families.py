@@ -149,9 +149,9 @@ class TestPhi3:
 class TestRegistry:
     def test_families_registered(self):
         assert set(list_models()) == {
-            "llama", "mistral", "phi3", "qwen2", "gemma2",
+            "llama", "mistral", "mixtral", "phi3", "qwen2", "gemma2",
         }
-        for name in ("llama", "mistral", "phi3", "qwen2", "gemma2"):
+        for name in list_models():
             assert get_model_cls(name) is not None
         with pytest.raises(ValueError):
             get_model_cls("gpt-neox")
@@ -333,6 +333,145 @@ class TestGemma2:
 
         assert get_model_cls("gemma2") is Gemma2
         assert get_model_cls("Gemma2ForCausalLM") is Gemma2
+
+
+class TestMixtral:
+    """Mixtral sparse MoE (beyond-reference: README Roadmap #6 unchecked,
+    SURVEY §2.6 EP row NO). Dense-expert einsum formulation — see
+    models/mixtral.py for the decode-bandwidth rationale."""
+
+    CFG = dict(
+        model_type="mixtral",
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        max_position_embeddings=256,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        sliding_window=None,
+        tie_word_embeddings=False,
+        bos_token_id=0,
+        eos_token_id=1,
+    )
+
+    def test_logits_match_hf(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        from safetensors.torch import save_file
+        from transformers import MixtralConfig as HFConfig
+        from transformers import MixtralForCausalLM
+
+        torch.manual_seed(9)
+        hf_model = (
+            MixtralForCausalLM(HFConfig(**self.CFG)).eval().to(torch.float32)
+        )
+        save_file(hf_model.state_dict(), str(tmp_path / "model.safetensors"))
+        (tmp_path / "config.json").write_text(json.dumps(self.CFG))
+
+        T = 24
+        rng = np.random.RandomState(13)
+        token_ids = rng.randint(0, 128, T)
+        with torch.no_grad():
+            hf_logits = hf_model(torch.tensor(token_ids)[None]).logits[0].numpy()
+        ours = run_ours(str(tmp_path), T, token_ids)
+        np.testing.assert_allclose(ours, hf_logits, atol=3e-4, rtol=3e-4)
+
+    def test_config_dispatch(self, tmp_path):
+        (tmp_path / "config.json").write_text(json.dumps(self.CFG))
+        cfg = load_hf_config(str(tmp_path))
+        assert cfg.architecture == "mixtral"
+        assert cfg.num_local_experts == 4
+        assert cfg.num_experts_per_tok == 2
+        from atoma_infer_tpu.models.mixtral import Mixtral
+
+        assert get_model_cls("mixtral") is Mixtral
+        assert get_model_cls("MixtralForCausalLM") is Mixtral
+
+    def test_expert_parallel_matches_single_device(self):
+        """EP over the CPU mesh: expert axis sharded, outputs identical to
+        the single-device forward (the MoE analog of test_parallel.py's TP
+        equivalence)."""
+        from atoma_infer_tpu.models.mixtral import Mixtral, MixtralConfig
+        from atoma_infer_tpu.parallel import (
+            kv_cache_sharding,
+            make_mesh,
+            param_shardings,
+            shard_params,
+        )
+
+        TP = 4
+        if len(jax.devices()) < TP:
+            pytest.skip("needs >=4 virtual devices")
+        cfg = MixtralConfig(
+            vocab_size=128,
+            hidden_size=64,
+            intermediate_size=96,
+            num_hidden_layers=2,
+            num_attention_heads=8,
+            num_key_value_heads=4,
+            head_dim=16,
+            max_position_embeddings=128,
+            tie_word_embeddings=True,
+            num_local_experts=8,
+            num_experts_per_tok=2,
+        )
+        model = Mixtral(cfg, dtype=jnp.float32)
+        params = model.init_params(jax.random.PRNGKey(2))
+
+        T, S, bs = 16, 2, 16
+        rng = np.random.RandomState(4)
+        token_ids = jnp.asarray(rng.randint(0, 128, T), jnp.int32)
+        q_per_seq = T // S
+        positions = jnp.tile(jnp.arange(q_per_seq, dtype=jnp.int32), S)
+        tables = jnp.asarray([[2 * s, 2 * s + 1] for s in range(S)], jnp.int32)
+        slots = jnp.concatenate(
+            [tables[s, 0] * bs + jnp.arange(q_per_seq) for s in range(S)]
+        ).astype(jnp.int32)
+        meta = AttentionMetadata(
+            slot_mapping=slots,
+            block_tables=tables,
+            seq_lens=jnp.full((S,), q_per_seq, jnp.int32),
+            query_start_loc=jnp.arange(0, T + 1, q_per_seq, dtype=jnp.int32),
+            num_seqs=jnp.asarray(S, jnp.int32),
+            block_size=bs,
+        )
+        kv_cache = jnp.zeros(
+            (cfg.num_layers, 8, bs, 2 * cfg.num_kv_heads * cfg.head_dim),
+            jnp.float32,
+        )
+
+        hidden_ref, _ = model.forward(
+            params, token_ids, positions, kv_cache, meta
+        )
+        logits_ref = model.compute_logits(params, hidden_ref)
+
+        mesh = make_mesh(tp=TP, devices=jax.devices()[:TP])
+        specs = param_shardings(mesh, params)
+        # Expert axis sharded when divisible (8 experts / 4 shards).
+        assert specs["layers"]["w1"].spec == jax.sharding.PartitionSpec(
+            None, "tp", None, None
+        )
+        assert specs["layers"]["router"].spec == jax.sharding.PartitionSpec()
+        params_ep = shard_params(mesh, params)
+        kv_ep = jax.device_put(kv_cache, kv_cache_sharding(mesh))
+
+        @jax.jit
+        def step(params, token_ids, positions, kv_cache, meta):
+            hidden, kv_cache = model.forward(
+                params, token_ids, positions, kv_cache, meta
+            )
+            return model.compute_logits(params, hidden), kv_cache
+
+        with mesh:
+            logits_ep, _ = step(params_ep, token_ids, positions, kv_ep, meta)
+        np.testing.assert_allclose(
+            np.asarray(logits_ep), np.asarray(logits_ref), atol=2e-4, rtol=2e-4
+        )
 
 
 class TestQwen2Registry:
