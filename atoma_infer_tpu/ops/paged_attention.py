@@ -42,6 +42,7 @@ sequence; CoW guarantees exclusivity before append).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -125,6 +126,9 @@ def _kernel(
     sc_vmem,          # [NB, CP, bs, 128] bf16 — scale pages ride the chunk DMA
     o_vmem,           # [G*BQ, Hk*D]
     wb_flag,          # SMEM [NB] — write-back DMA in flight per slot
+    qblk_vmem,        # [Hk·G·BQ, 2·Hk·D] — block-diagonal staged queries
+                      # (head-fused decode path; [8, 128] dummy otherwise)
+    pv_vmem,          # [Hk·G·BQ, D] f32 — PV diagonal-block extraction
     q_sems,           # DMA sems [NB]
     kv_sems,          # DMA sems [NB]
     sc_sems,          # DMA sems [NB]
@@ -147,6 +151,7 @@ def _kernel(
     wb_sub: int,
     qo_vmem: bool,
     entries_per_step: int,
+    head_fused: bool,
 ):
     EPS = entries_per_step
     g = pl.program_id(0)
@@ -348,6 +353,100 @@ def _kernel(
     # group is query i = r % BQ (rows are g-major: g·BQ + i).
     row_query = jax.lax.broadcasted_iota(jnp.int32, (GBQ, 1), 0) % BQ
     pos = kv_len - q_len + b * BQ + row_query  # [G·BQ, 1]
+    HGBQ = Hk * GBQ  # head-fused row count (row h·GBQ + g·BQ + i)
+
+    def stage_qblk(q_all):
+        """Scatter this entry's [G·BQ, Hk·D] query window onto the block
+        diagonal of ``qblk_vmem`` [Hk·GBQ, 2·Hk·D]: head h's group lands at
+        rows [h·GBQ, (h+1)·GBQ) in its K-lane block [h·2D, h·2D+D). All
+        off-diagonal positions stay at their grid-step-0 zeros (every entry
+        rewrites the same diagonal slots), so ONE matmul against the raw
+        [CHUNK, 2·Hk·D] chunk rows computes every head's scores at once —
+        the zero lanes null out other heads' K and all V lanes."""
+        for h in range(Hk):
+            qblk_vmem[
+                h * GBQ : (h + 1) * GBQ, h * 2 * D : h * 2 * D + D
+            ] = q_all[:, h * D : (h + 1) * D]
+
+    def attend_chunk_fused(slot, j, carry, kv_len=kv_len):
+        """Head-fused online-softmax update: 2 MXU dots per chunk total
+        (block-diagonal QK^T, then one PV against the full chunk rows with
+        diagonal-block extraction) instead of 2·Hk per-head dots. At decode
+        the per-head dots are issue-latency-bound (M = G·BQ = 8 rows,
+        ~0.19µs each measured), so fusing them into one wide dot trades
+        idle-MXU FLOPs (Hk× more, still ≪ 1µs at peak) for Hk× fewer
+        serial MXU issues. VPU softmax work is unchanged — the same
+        Hk·GBQ·CHUNK elements, one [Hk·GBQ, CHUNK] block instead of Hk
+        [GBQ, CHUNK] blocks."""
+        m, l, acc = carry  # [HGBQ, 1], [HGBQ, 1], [HGBQ, D]
+        kv_all = kv_vmem[slot].reshape(CHUNK, 2 * Hk * D)
+        if quant:
+            scv = sc_vmem[slot].reshape(CHUNK, 128).astype(jnp.float32)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+            k_col = jnp.sum(
+                jnp.where(lane == 0, scv, 0.0), axis=1, keepdims=True
+            )
+            v_col = jnp.sum(
+                jnp.where(lane == 1, scv, 0.0), axis=1, keepdims=True
+            )
+            # Whole-chunk dequant with a K/V lane-phase scale select —
+            # the same element count the per-head path dequantizes.
+            lane_kv = jax.lax.broadcasted_iota(
+                jnp.int32, (CHUNK, 2 * Hk * D), 1
+            )
+            kv_all = (
+                kv_all.astype(jnp.float32)
+                * jnp.where(lane_kv % (2 * D) < D, k_col, v_col)
+            ).astype(qblk_vmem.dtype)
+
+        col = j * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        rq = jax.lax.broadcasted_iota(jnp.int32, (HGBQ, 1), 0) % BQ
+        posf = kv_len - q_len + b * BQ + rq  # [HGBQ, 1]
+        mask = (col <= posf) & (col < kv_len)
+        if sliding_window is not None:
+            mask &= col > posf - sliding_window
+
+        sc = (
+            jax.lax.dot_general(
+                qblk_vmem[...],
+                kv_all,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+        )  # [HGBQ, CHUNK]
+        if soft_cap is not None:
+            sc = soft_cap * jnp.tanh(sc / soft_cap)
+        if alibi:
+            # Fused slope layout: [HGBQ, 128] with the row's q-head slope
+            # at lane 0 (host-built; see _paged_attention_call).
+            sl_lane = jax.lax.broadcasted_iota(jnp.int32, (HGBQ, 128), 1)
+            slope_col = jnp.sum(
+                jnp.where(sl_lane == 0, slope_ref[...], 0.0),
+                axis=1,
+                keepdims=True,
+            )
+            sc = sc + slope_col * (col - posf).astype(jnp.float32)
+        sc = jnp.where(mask, sc, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(sc, axis=-1, keepdims=True))
+        p_ = jnp.exp(sc - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+
+        out_blk = jax.lax.dot_general(
+            p_.astype(kv_all.dtype),
+            kv_all,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [HGBQ, 2·Hk·D] — diagonal V blocks are the per-head PV results
+        # Mosaic cannot concat lane-offset slices — stage the diagonal
+        # blocks through the pv scratch (stores realign).
+        for h in range(Hk):
+            pv_vmem[h * GBQ : (h + 1) * GBQ, :] = out_blk[
+                h * GBQ : (h + 1) * GBQ, h * 2 * D + D : (h + 1) * 2 * D
+            ]
+        acc_new = acc * alpha + pv_vmem[...]
+        return (m_new, l_new, acc_new)
 
     def attend_chunk(q_all, slot, j, carry, pos=pos, kv_len=kv_len):
         """Online-softmax update of (m, l, acc) per kv head over one chunk."""
@@ -442,6 +541,23 @@ def _kernel(
 
     def finalize(carry, eidx=None):
         eidx = e if eidx is None else eidx
+        if head_fused:
+            m, l, acc = carry
+            out_all = acc / jnp.maximum(l, 1e-30)  # [HGBQ, D]
+            if qo_vmem:
+                for h in range(Hk):
+                    o_hbm[eidx, :, h * D : (h + 1) * D] = out_all[
+                        h * GBQ : (h + 1) * GBQ
+                    ].astype(o_hbm.dtype)
+                return
+            for h in range(Hk):
+                o_vmem[:, h * D : (h + 1) * D] = out_all[
+                    h * GBQ : (h + 1) * GBQ
+                ].astype(o_vmem.dtype)
+            o_dma = pltpu.make_async_copy(o_vmem, o_hbm.at[eidx], o_sem)
+            o_dma.start()
+            o_dma.wait()
+            return
         if qo_vmem:
             # VMEM-resident output: per-head stores at a dynamic entry row —
             # no per-entry DMA, no synchronous wait (Pallas writes the whole
@@ -461,14 +577,28 @@ def _kernel(
         o_dma.start()
         o_dma.wait()
 
-    init = tuple(
-        (
-            jnp.full((GBQ, 1), NEG_INF, jnp.float32),
-            jnp.zeros((GBQ, 1), jnp.float32),
-            jnp.zeros((GBQ, D), jnp.float32),
+    if head_fused:
+        init = (
+            jnp.full((HGBQ, 1), NEG_INF, jnp.float32),
+            jnp.zeros((HGBQ, 1), jnp.float32),
+            jnp.zeros((HGBQ, D), jnp.float32),
         )
-        for _ in range(Hk)
-    )
+
+        # Off-diagonal q lanes must read as zero for every entry; entries
+        # only ever rewrite the diagonal slots, so zero once up front.
+        @pl.when(e == 0)
+        def _():
+            qblk_vmem[...] = jnp.zeros(qblk_vmem.shape, qblk_vmem.dtype)
+
+    else:
+        init = tuple(
+            (
+                jnp.full((GBQ, 1), NEG_INF, jnp.float32),
+                jnp.zeros((GBQ, 1), jnp.float32),
+                jnp.zeros((GBQ, D), jnp.float32),
+            )
+            for _ in range(Hk)
+        )
 
     if fuse_write:
 
@@ -503,10 +633,16 @@ def _kernel(
             issue_entry(e + NB - 1)
             slot = kv_slot(e, 0)
             q_all = load_q(e)
+            if head_fused:
+                stage_qblk(q_all)
             wait_chunk(slot)
             if fuse_write:
                 patch_and_writeback(slot, 0, s, q_start, q_len, kv_len)
-            finalize(attend_chunk(q_all, slot, 0, init))
+            finalize(
+                attend_chunk_fused(slot, 0, init)
+                if head_fused
+                else attend_chunk(q_all, slot, 0, init)
+            )
     else:
 
         @pl.when(active & (e == 0))
@@ -528,6 +664,8 @@ def _kernel(
             # Per-kv-head query groups are VALUE lane slices of the
             # prearranged [G·BQ, Hk·D] window — no staging.
             q_all = load_q(e)
+            if head_fused:
+                stage_qblk(q_all)
 
             def chunk_body(j, carry):
                 @pl.when(j + 1 < nc)
@@ -538,6 +676,8 @@ def _kernel(
                 wait_chunk(slot)
                 if fuse_write:
                     patch_and_writeback(slot, j, s, q_start, q_len, kv_len)
+                if head_fused:
+                    return attend_chunk_fused(slot, j, carry)
                 return attend_chunk(q_all, slot, j, carry)
 
             finalize(jax.lax.fori_loop(0, nc, chunk_body, init))
@@ -638,6 +778,28 @@ def _paged_attention_call(
     # within Mosaic's ~16MB scoped VMEM (13MB leaves room for the small
     # q/o/scale scratch) — a fixed 4MB qo cap turned the path off at
     # decode batches ≥ 384 where it matters most.
+    # Head-fused decode: block-diagonal q staging folds the 2·Hk per-head
+    # MXU dots per chunk into 2 (see attend_chunk_fused). Gated to the
+    # regime where it MEASURED faster on v5e (1B shapes): multi-chunk mode
+    # with deep (long-context-capable) block tables, where the 2-slot ring's
+    # one-entry lookahead leaves per-head dot issues exposed (+23% @ctx 512
+    # / P=1025 tables, +2.4% @2k, ~0 @8k, batch 64). In single-chunk mode
+    # the 4-slot ring + 3-entry prefetch already hides the issues and
+    # fusion's Hk× idle-FLOPs became the critical path (−2.3% e2e @64 seqs,
+    # −2.5% @256); shallow tables at 256 entries also lost (−2.5%, P=33) —
+    # both excluded. Alignment needs G·BQ a sublane multiple and D a
+    # 64-lane multiple; decode-shaped (BQ ≤ 2) entries only.
+    GBQ_ = G * BQ
+    fuse_env = os.environ.get("ATOMA_HEAD_FUSE", "1")  # 0 | 1 (auto) | force
+    head_fused = (
+        fuse_env != "0"
+        and Hk > 1
+        and BQ <= 2
+        and (fuse_env == "force" or (not single_chunk and P >= 256 and S <= 128))
+        and GBQ_ % 8 == 0
+        and D % 64 == 0
+        and Hk * GBQ_ <= 256
+    )
     qo_bytes = W * G * BQ * Hk * D * q.dtype.itemsize
     ring_bytes = RING_BUFFERS * min(chunk_bytes, CP * bs * row_bytes)
     qo_vmem = (
@@ -667,7 +829,18 @@ def _paged_attention_call(
     )
 
     alibi = alibi_slopes is not None
-    if alibi:
+    if alibi and head_fused:
+        # Head-fused slope layout: [Hk·G·BQ, 128] with row h·GBQ+g·BQ+i
+        # carrying q head h·G+g's slope at lane 0.
+        r = jnp.arange(Hk * G * BQ, dtype=jnp.int32)
+        qhead = (r // (G * BQ)) * G + (r % (G * BQ)) // BQ      # [HGBQ]
+        lanes = jnp.arange(128, dtype=jnp.int32)                # [128]
+        slope_mat = jnp.where(
+            lanes[None, :] == 0,
+            alibi_slopes.astype(jnp.float32)[qhead][:, None],
+            0.0,
+        )
+    elif alibi:
         # Slope of q head h·G+g at (row g·BQ+i, lane h) — a [G·BQ, 128]
         # constant the kernel reduces per kv head (traced, so TP shard_map
         # can feed per-shard slopes).
@@ -727,6 +900,13 @@ def _paged_attention_call(
             ),
             pltpu.VMEM((G * BQ, Hk * D), q.dtype),
             pltpu.SMEM((RING_BUFFERS,), jnp.int32),
+            pltpu.VMEM(
+                (Hk * G * BQ, 2 * Hk * D) if head_fused else (8, 128),
+                q.dtype,
+            ),
+            pltpu.VMEM(
+                (Hk * G * BQ, D) if head_fused else (8, 128), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
             pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
             pltpu.SemaphoreType.DMA((RING_BUFFERS,)),
@@ -753,6 +933,7 @@ def _paged_attention_call(
         wb_sub=wbs,
         qo_vmem=qo_vmem,
         entries_per_step=EPS,
+        head_fused=head_fused,
     )
 
     out_gm, new_cache, new_scales = pl.pallas_call(

@@ -582,3 +582,98 @@ class TestInt8KVKernel:
         np.testing.assert_allclose(
             np.asarray(new_scales), np.asarray(want_scales), rtol=1e-6
         )
+
+
+class TestHeadFusedDecode:
+    """Block-diagonal head fusion (2 MXU dots per chunk instead of 2·Hk;
+    ops/paged_attention.py attend_chunk_fused). Engages for decode-shaped
+    entries with G·BQ a sublane multiple — hq=8/hk=2 (G=4, BQ=2) below.
+    Every variant must match the per-head path's oracle exactly."""
+
+    HEADS = dict(num_q_heads=8, num_kv_heads=2)
+
+    @pytest.fixture(autouse=True)
+    def _force_fuse(self, monkeypatch):
+        # The regime gate (multi-chunk + deep tables) never triggers at
+        # test scale; force the fused path so these cases exercise it.
+        monkeypatch.setenv("ATOMA_HEAD_FUSE", "force")
+
+    def test_decode_batch_fused_heads(self):
+        rng = np.random.default_rng(40)
+        specs = [(1, kv) for kv in (1, 5, 16, 17, 64, 128, 33)]
+        q, kv, meta = make_case(
+            rng, seq_specs=specs, num_blocks=32, pad_seqs_to=8, **self.HEADS
+        )
+        got, want = run_both(q, kv, meta)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_decode_multi_chunk_fused_heads(self):
+        rng = np.random.default_rng(41)
+        q, kv, meta = make_case(
+            rng, seq_specs=[(1, 900), (1, 500)], num_blocks=128, **self.HEADS
+        )
+        got, want = run_both(q, kv, meta, pages_per_chunk=4)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_decode_fused_heads_window_softcap_alibi(self):
+        from atoma_infer_tpu.ops.attention import alibi_slopes as mk_slopes
+
+        rng = np.random.default_rng(42)
+        specs = [(1, 90), (1, 30), (1, 64)]
+        for kw in (
+            dict(sliding_window=24),
+            dict(soft_cap=30.0),
+            dict(alibi_slopes=mk_slopes(8)),
+        ):
+            q, kv, meta = make_case(
+                rng, seq_specs=specs, num_blocks=32, **self.HEADS
+            )
+            got, want = run_both(q, kv, meta, **kw)
+            assert_close(got, want, meta.query_start_loc)
+
+    def test_head_fuse_gate_matches_env_off(self, monkeypatch):
+        """ATOMA_HEAD_FUSE=0 (per-head path) and =force produce identical
+        results on the same decode batch."""
+        rng = np.random.default_rng(43)
+        specs = [(1, kv) for kv in (7, 40, 128)]
+
+        def run(flag):
+            monkeypatch.setenv("ATOMA_HEAD_FUSE", flag)
+            r = np.random.default_rng(43)
+            q, kv, meta = make_case(
+                r, seq_specs=specs, num_blocks=32, **self.HEADS
+            )
+            out = ragged_paged_attention_pallas(
+                q, kv, meta, scale=q.shape[-1] ** -0.5, interpret=True
+            )
+            return np.asarray(out), np.asarray(meta.query_start_loc)
+
+        off, qsl = run("0")
+        on, _ = run("force")
+        assert_close(on, off, qsl, atol=1e-5)
+
+    def test_int8_decode_fused_heads(self):
+        rng = np.random.default_rng(44)
+        helper = TestInt8KVKernel()
+        specs = [(1, kv) for kv in (1, 31, 64, 128)]
+        q, q_cache, kv_scales, meta = helper._make_quant(
+            rng, specs, pad_seqs_to=8, **self.HEADS
+        )
+        got = np.asarray(
+            ragged_paged_attention_pallas(
+                q, q_cache, meta, scale=q.shape[-1] ** -0.5,
+                kv_scales=kv_scales, interpret=True,
+            )
+        )
+        want = helper._oracle(q, q_cache, kv_scales, meta, head_dim=64)
+        assert_close(got, want, np.asarray(meta.query_start_loc))
+
+    def test_fused_write_fused_heads(self):
+        rng = np.random.default_rng(45)
+        helper = TestFusedDecodeWrite()
+        got, want, new_cache, want_cache, qsl = helper._run(
+            rng, [(1, 17), (1, 32), (1, 70), (1, 1)], num_blocks=32,
+            **self.HEADS,
+        )
+        assert_close(got, want, qsl)
+        np.testing.assert_array_equal(new_cache, want_cache)
