@@ -319,6 +319,20 @@ class EngineConfig:
                 "parallelism (num_speculative_tokens requires "
                 "pipeline_parallel_size == 1)"
             )
+        if (
+            self.scheduler.num_speculative_tokens
+            and self.cache.sliding_window is not None
+        ):
+            # Block-level window reuse maps lookahead slots modulo the
+            # window; a rejected draft's KV write can then have displaced a
+            # row still INSIDE the attention window (wraps when ≥2 drafts
+            # are rejected past the window boundary) — silent corruption,
+            # so reject the combination outright. Model-level per-layer
+            # windows (gemma2) keep full tables and are unaffected.
+            raise ValueError(
+                "speculative decoding is not supported with a block-level "
+                "sliding window (cache.sliding_window)"
+            )
 
     @classmethod
     def from_file_path(cls, path: str) -> "EngineConfig":

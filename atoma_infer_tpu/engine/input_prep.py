@@ -165,6 +165,15 @@ def prepare_model_input(
     num_seqs = len(seq_lens)
     T = bucket(max(num_tokens, 1), minimum=8, maximum=None)
     S = bucket(max(num_seqs, 1), minimum=8, maximum=None)
+    if any(spec_lists):
+        # Speculative verify steps carry up to S·(1+K) tokens — the next
+        # power of two over-pads by up to ~60% of pure matmul compute.
+        # S·(1+K) is a natural exact bucket (S is already a power of two,
+        # so it stays a multiple of 8) and there is one per (S, K) pair,
+        # so the compile-cache cost matches the non-speculative buckets.
+        t_spec = S * (1 + max(1, num_spec_tokens))
+        if num_tokens <= t_spec < T:
+            T = t_spec
     max_pages = max((len(t) for t in per_seq_tables), default=1)
     P = bucket(max(max_pages, 1), minimum=4, maximum=max_pages_per_seq)
 

@@ -64,12 +64,22 @@ def _pick_block_q(num_tokens: int, num_seq_slots: int) -> int:
     # padded-row softmax work; 2 rows is the bf16 sublane-packing minimum.
     if num_tokens <= num_seq_slots:
         return 2
-    # BQ caps at 64: wider blocks push kernel scratch past Mosaic's 16MB
-    # scoped-VMEM stack limit.
-    for bq in (64, 32, 16, 8):
-        if num_tokens % bq == 0:
-            return bq
-    raise ValueError(f"token count {num_tokens} must be a multiple of 8")
+    # Scale the block to the batch's tokens-per-sequence so short ragged
+    # chunks (speculative verification rides (1+k)-token chunks; decode
+    # sequences mixed into prefill batches ride 1-token chunks) are not
+    # padded to a prefill-sized 64-row block — a 5-row verify chunk at
+    # BQ=64 wastes 12.8× matmul/softmax rows (measured 39.8ms → see
+    # benchmarks/spec_decode_bench.py). Long prefills still take the
+    # 64-row cap (VMEM scratch bound under Mosaic's 16MB scoped limit).
+    per_seq = -(-num_tokens // max(num_seq_slots, 1))
+    target = 8
+    while target < min(per_seq, 64):
+        target *= 2
+    divisors = [b for b in (8, 16, 32, 64) if num_tokens % b == 0]
+    if not divisors:
+        raise ValueError(f"token count {num_tokens} must be a multiple of 8")
+    under = [b for b in divisors if b <= target]
+    return max(under) if under else min(divisors)
 
 
 def build_work_list(

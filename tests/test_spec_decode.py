@@ -192,6 +192,21 @@ class TestSpecDecodeEndToEnd:
         spec = _generate(make_service(4), "cap", PROMPT, max_new_tokens=5)
         assert len(spec.outputs[0].token_ids) <= 5
 
+    def test_spec_with_sliding_window_rejected(self):
+        """Lookahead writes wrap modulo a block-level window and can
+        destroy in-window KV when drafts are rejected — must be refused."""
+        with pytest.raises(ValueError, match="sliding window"):
+            EngineConfig(
+                model=ModelConfig(model_name="m"),
+                cache=CacheConfig(block_size=16, sliding_window=64),
+                scheduler=SchedulerConfig(
+                    num_speculative_tokens=2,
+                    max_num_batched_tokens=512,
+                    max_model_len=512,
+                ),
+                validation=ValidationConfig(),
+            )
+
     def test_spec_with_pp_rejected(self):
         with pytest.raises(ValueError, match="pipeline"):
             EngineConfig(
