@@ -386,6 +386,11 @@ class EngineConfig:
             enable_chunked_prefill=_get(
                 "ENABLE_CHUNKED_PREFILL", lambda s: s == "true", False
             ),
+            num_speculative_tokens=_get(
+                "NUM_SPECULATIVE_TOKENS",
+                int,
+                SchedulerConfig.num_speculative_tokens,
+            ),
         )
         valid = ValidationConfig()
         return cls(model=model, cache=cache, scheduler=sched, validation=valid)

@@ -370,12 +370,6 @@ class LlmService:
     def _build_block_manager(cls, config: EngineConfig):
         """Native (C++) block manager when enabled + compatible, else None
         (the Scheduler builds the Python manager itself)."""
-        if config.scheduler.use_native_core and config.cache.enable_prefix_caching:
-            logger.info(
-                "prefix caching enabled — using the Python block manager "
-                "(the native core does not implement content-hash caching)"
-            )
-            return None
         if (
             config.scheduler.use_native_core
             and config.scheduler.num_speculative_tokens
@@ -396,6 +390,7 @@ class LlmService:
                 num_device_blocks=config.cache.num_device_blocks or 0,
                 num_host_blocks=config.cache.num_host_blocks or 0,
                 sliding_window=config.cache.sliding_window,
+                enable_prefix_caching=config.cache.enable_prefix_caching,
             )
             logger.info("using native (C++) block-manager core")
             return manager

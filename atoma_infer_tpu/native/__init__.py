@@ -62,6 +62,16 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.fill_slot_mapping.argtypes = [
         i32p, c.c_int, c.c_int, c.c_int, c.c_int, i32p,
     ]
+    # Prefix caching (content-hash allocation + computed tracking + LRU).
+    lib.abm_enable_prefix_caching.argtypes = [c.c_void_p, c.c_int]
+    lib.abm_allocate_cached.restype = c.c_int
+    lib.abm_allocate_cached.argtypes = [
+        c.c_void_p, i64p, c.c_int, c.c_int, i64p, c.c_int,
+    ]
+    lib.abm_mark_computed.argtypes = [c.c_void_p, c.c_int64, c.c_int]
+    lib.abm_computed_prefix.restype = c.c_int
+    lib.abm_computed_prefix.argtypes = [c.c_void_p, c.c_int64, i32p, c.c_int]
+    lib.abm_touch.argtypes = [c.c_void_p, c.c_int64, c.c_double]
     return lib
 
 

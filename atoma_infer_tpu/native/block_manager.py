@@ -40,6 +40,7 @@ class NativeBlockSpaceManager:
         num_host_blocks: int,
         watermark: float = 0.01,
         sliding_window: Optional[int] = None,
+        enable_prefix_caching: bool = False,
     ):
         lib = load()
         if lib is None:
@@ -50,6 +51,11 @@ class NativeBlockSpaceManager:
         self.block_size = block_size
         self.num_total_device_blocks = num_device_blocks
         self.num_total_host_blocks = num_host_blocks
+        # Prefix caching is incompatible with sliding-window block reuse
+        # (same rule as the Python manager).
+        self.enable_prefix_caching = (
+            enable_prefix_caching and sliding_window is None
+        )
         self._h = lib.abm_create(
             block_size,
             num_device_blocks,
@@ -57,6 +63,8 @@ class NativeBlockSpaceManager:
             watermark,
             sliding_window or -1,
         )
+        if self.enable_prefix_caching:
+            lib.abm_enable_prefix_caching(self._h, 1)
         self._pair_buf = (ctypes.c_int32 * (2 * (num_device_blocks + 1)))()
         self._table_buf = (ctypes.c_int32 * (num_device_blocks + 1))()
 
@@ -78,14 +86,36 @@ class NativeBlockSpaceManager:
     def allocate(self, seq_group: SequenceGroup) -> None:
         waiting = seq_group.get_seqs(SequenceStatus.WAITING)
         assert waiting
-        rc = self._lib.abm_allocate(
+        seq = waiting[0]
+        if not self.enable_prefix_caching:
+            rc = self._lib.abm_allocate(
+                self._h, _ids(waiting), len(waiting), seq.num_logical_blocks
+            )
+            if rc != 0:
+                raise RuntimeError("native allocate failed: pool exhausted")
+            return
+        # Content-hashed allocation: the C core returns how many LEADING
+        # hashable blocks were cache hits already computed — those tokens
+        # skip prefill (core.block_manager.BlockSpaceManager.allocate).
+        num_hashable = seq.num_full_prompt_blocks
+        hashes = (ctypes.c_int64 * max(num_hashable, 1))(
+            *[seq.hash_of_block(i) for i in range(num_hashable)]
+        )
+        rc = self._lib.abm_allocate_cached(
             self._h,
             _ids(waiting),
             len(waiting),
-            waiting[0].num_logical_blocks,
+            seq.num_logical_blocks,
+            hashes,
+            num_hashable,
         )
-        if rc != 0:
+        if rc < 0:
             raise RuntimeError("native allocate failed: pool exhausted")
+        cached = min(rc * self.block_size, seq.get_prompt_len() - 1)
+        for s in waiting:
+            delta = cached - s.sequence_data.get_num_computed_tokens()
+            if delta > 0:
+                s.sequence_data.update_num_computed_tokens(delta)
 
     # ---------------------------------------------------------------- decode
     def can_append_slots(
@@ -191,22 +221,28 @@ class NativeBlockSpaceManager:
     def get_num_free_host_blocks(self) -> int:
         return self._lib.abm_num_free_host(self._h)
 
-    # Prefix-caching groundwork + LRU touch are no-ops in the native core
-    # (LlmService auto-falls back to the Python block manager when
-    # enable_prefix_caching is set).
-    enable_prefix_caching = False
-
-    def access_all_blocks_in_sequence(self, seq, now) -> None:
-        pass
+    # ----------------------------------------------------- prefix caching
+    def access_all_blocks_in_sequence(self, seq, now: float) -> None:
+        self._lib.abm_touch(self._h, seq.seq_id, float(now))
 
     def compute_full_blocks_in_sequence(self, seq) -> None:
-        pass
+        num_full = (
+            seq.sequence_data.get_num_computed_tokens() // self.block_size
+        )
+        self._lib.abm_mark_computed(self._h, seq.seq_id, num_full)
 
     def get_all_computed_blocks(self, seq) -> List[int]:
-        return []
+        n = self._lib.abm_computed_prefix(
+            self._h, seq.seq_id, self._table_buf, len(self._table_buf)
+        )
+        return list(self._table_buf[:n])
 
     def mark_blocks_as_accessed(self, seq_group) -> None:
-        pass
+        import time
+
+        now = time.monotonic()
+        for seq in seq_group.get_seqs():
+            self.access_all_blocks_in_sequence(seq, now)
 
 
 def fill_slot_mapping_native(
