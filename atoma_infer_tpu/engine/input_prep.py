@@ -214,11 +214,17 @@ def prepare_model_input(
             start = qsl[i]
             q_len = qsl[i + 1] - start
             j = np.arange(K + 1)
-            spec_rows[i] = start + np.minimum(j, q_len - 1)
             k_i = min(len(spec_lists[i]), K)
             if k_i:
+                # Drafted seq: its (1+k) verify rows, last replicated.
+                spec_rows[i] = start + np.minimum(j, q_len - 1)
                 spec_draft[i, :k_i] = spec_lists[i][:k_i]
                 spec_k[i] = k_i
+            else:
+                # Undrafted seq sharing the step (plain decode, or a
+                # chunked-prefill chunk): sample its LAST row only — row 0
+                # of the gather is the token the engine appends.
+                spec_rows[i] = start + q_len - 1
 
     return ModelInput(
         token_ids=tok,

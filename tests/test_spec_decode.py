@@ -186,6 +186,52 @@ class TestSpecDecodeEndToEnd:
         assert adv.outputs[0].token_ids == base.outputs[0].token_ids
         assert metrics.SPEC_PROPOSED.value > proposed_before
 
+    def test_spec_mixed_with_chunked_prefill(self):
+        """A verify-layout step may also carry another request's prefill
+        chunk (chunked-prefill mixing): the prefill's sampled token must
+        come from its chunk's LAST row, drafts notwithstanding — outputs
+        of BOTH requests must match the non-speculative run."""
+
+        def run(num_spec):
+            service = make_service(
+                num_spec,
+                enable_chunked_prefill=True,
+                max_num_batched_tokens=64,
+            )
+
+            async def go():
+                task = asyncio.create_task(service.engine.run())
+                # Repetitive prompt decodes (and drafts) while the long
+                # prompt prefills in 64-token chunks alongside.
+                fut_a = await service.handle_request(
+                    GenerateRequest(
+                        request_id="spec-seq",
+                        inputs=PROMPT,
+                        parameters=GenerateParameters(max_new_tokens=20),
+                    )
+                )
+                await asyncio.sleep(0.3)  # let A reach decode
+                fut_b = await service.handle_request(
+                    GenerateRequest(
+                        request_id="chunky",
+                        inputs="z" * 200,
+                        parameters=GenerateParameters(max_new_tokens=6),
+                    )
+                )
+                ra, rb = await asyncio.wait_for(
+                    asyncio.gather(fut_a, fut_b), timeout=120
+                )
+                service.stop()
+                task.cancel()
+                return ra.outputs[0].token_ids, rb.outputs[0].token_ids
+
+            return asyncio.run(go())
+
+        base_a, base_b = run(0)
+        spec_a, spec_b = run(4)
+        assert spec_a == base_a
+        assert spec_b == base_b
+
     def test_spec_respects_max_new_tokens(self):
         """Accepted drafts may cross the max_new_tokens boundary inside one
         step; the output must still be capped exactly."""
