@@ -157,6 +157,7 @@ def _kernel(
     fuse_write: bool,
     single_chunk: bool,
     quant: bool,
+    quant_mxu: bool,
     alibi: bool,
     wb_sub: int,
     qo_vmem: bool,
@@ -378,6 +379,32 @@ def _kernel(
                 h * GBQ : (h + 1) * GBQ, h * 2 * D : h * 2 * D + D
             ] = q_all[:, h * D : (h + 1) * D]
 
+    def scale_rows(slot, nrows):
+        """Lane-major per-KV-row dequant scales [nrows, CHUNK] from the
+        scale pages (K scale at lane 0, V at lane 1 of each page row).
+
+        The scales are needed as score COLUMNS — along lanes — but pages
+        store them along sublanes ([CHUNK, 128]), and Mosaic has no
+        lane<->sublane transpose. Two one-hot MXU dots do the transpose:
+        ``e_k[nrows,128] . scv[CHUNK,128]^T`` lands row c's lane-0 value at
+        every (row, c). ~0.2us each, replacing the whole-chunk VPU dequant
+        (~3M VPU ops/entry — measured 6.75us/entry at 8B ctx 512, ~5x the
+        KV-read roofline): the cache now feeds the MXU as raw int8 (mixed
+        bf16xint8 dots, like ops/quant_kernels) and scales apply to the
+        small [rows, CHUNK] score/probability matrices after the dots."""
+        scv = sc_vmem[slot].reshape(CHUNK, 128)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 1)
+        dims = (((1,), (1,)), ((), ()))
+        e_k = (lane_iota == 0).astype(scv.dtype)
+        e_v = (lane_iota == 1).astype(scv.dtype)
+        k_rows = jax.lax.dot_general(
+            e_k, scv, dims, preferred_element_type=jnp.float32
+        )
+        v_rows = jax.lax.dot_general(
+            e_v, scv, dims, preferred_element_type=jnp.float32
+        )
+        return k_rows, v_rows
+
     def attend_chunk_fused(slot, j, carry, kv_len=kv_len):
         """Head-fused online-softmax update: 2 MXU dots per chunk total
         (block-diagonal QK^T, then one PV against the full chunk rows with
@@ -391,23 +418,14 @@ def _kernel(
         m, l, acc = carry  # [HGBQ, 1], [HGBQ, 1], [HGBQ, D]
         kv_all = kv_vmem[slot].reshape(CHUNK, 2 * Hk * D)
         if quant:
-            scv = sc_vmem[slot].reshape(CHUNK, 128).astype(jnp.float32)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-            k_col = jnp.sum(
-                jnp.where(lane == 0, scv, 0.0), axis=1, keepdims=True
-            )
-            v_col = jnp.sum(
-                jnp.where(lane == 1, scv, 0.0), axis=1, keepdims=True
-            )
-            # Whole-chunk dequant with a K/V lane-phase scale select —
-            # the same element count the per-head path dequantizes.
-            lane_kv = jax.lax.broadcasted_iota(
-                jnp.int32, (CHUNK, 2 * Hk * D), 1
-            )
-            kv_all = (
-                kv_all.astype(jnp.float32)
-                * jnp.where(lane_kv % (2 * D) < D, k_col, v_col)
-            ).astype(qblk_vmem.dtype)
+            # Raw int8 chunk rows feed the MXU; scales apply post-dot (see
+            # scale_rows). K scale lands on the scores, V scale folds into
+            # the probabilities — both tiny [HGBQ, CHUNK] multiplies.
+            k_rows, v_rows = scale_rows(slot, HGBQ)
+            if not quant_mxu:
+                # Interpret mode rejects mixed-dtype dots: convert only
+                # (scales still apply post-dot — identical math).
+                kv_all = kv_all.astype(qblk_vmem.dtype)
 
         col = j * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         rq = jax.lax.broadcasted_iota(jnp.int32, (HGBQ, 1), 0) % BQ
@@ -416,15 +434,13 @@ def _kernel(
         if sliding_window is not None:
             mask &= col > posf - sliding_window
 
-        sc = (
-            jax.lax.dot_general(
-                qblk_vmem[...],
-                kv_all,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            * scale
+        sc = jax.lax.dot_general(
+            qblk_vmem[...],
+            kv_all,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # [HGBQ, CHUNK]
+        sc = sc * (k_rows * scale) if quant else sc * scale
         if soft_cap is not None:
             sc = soft_cap * jnp.tanh(sc / soft_cap)
         if alibi:
@@ -443,8 +459,11 @@ def _kernel(
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
 
+        if quant:
+            # Fold the V dequant scale into p (per KV row = per column).
+            p_ = p_ * v_rows
         out_blk = jax.lax.dot_general(
-            p_.astype(kv_all.dtype),
+            p_.astype(qblk_vmem.dtype),
             kv_all,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -467,18 +486,13 @@ def _kernel(
             mask &= col > pos - sliding_window
 
         if quant:
-            # Per-row K/V dequant scale columns [CHUNK, 1] from the scale
-            # pages (K lane 0, V lane 1 of each 128-lane row). Lane-masked
-            # reductions instead of size-1 lane slices (Mosaic rejects
-            # unaligned lane slicing).
-            scv = sc_vmem[slot].reshape(CHUNK, 128).astype(jnp.float32)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-            k_col = jnp.sum(
-                jnp.where(lane == 0, scv, 0.0), axis=1, keepdims=True
-            )
-            v_col = jnp.sum(
-                jnp.where(lane == 1, scv, 0.0), axis=1, keepdims=True
-            )
+            # Raw int8 rows feed the MXU; scales apply post-dot — K on the
+            # scores, V folded into the probabilities (see scale_rows).
+            k_rows, v_rows = scale_rows(slot, GBQ)
+            if not quant_mxu:
+                # Interpret mode rejects mixed-dtype dots: convert only
+                # (scales still apply post-dot — identical math).
+                kv_all = kv_all.astype(q_all.dtype)
 
         # Phase 1: all per-head score matmuls, back to back — the 2·Hk
         # per-head matmuls are the dominant per-entry cost at decode (the
@@ -489,20 +503,13 @@ def _kernel(
         for h in range(Hk):
             # Head-interleaved rows: [K_h | V_h] at lanes [h·2D, (h+1)·2D).
             kh = kv_all[:, h * 2 * D : h * 2 * D + D]  # [CHUNK, D]
-            if quant:
-                # VPU dequant: int8 → f32 × per-row scale → q dtype for the
-                # MXU. Scales are shared across heads, so the column
-                # broadcasts over the head's D lanes.
-                kh = (kh.astype(jnp.float32) * k_col).astype(q_all.dtype)
-            scores.append(
-                jax.lax.dot_general(
-                    q_all[:, h * D : (h + 1) * D],
-                    kh,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                * scale
+            dot = jax.lax.dot_general(
+                q_all[:, h * D : (h + 1) * D],
+                kh,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )  # [G·BQ, CHUNK]
+            scores.append(dot * (k_rows * scale) if quant else dot * scale)
 
         # Phase 2: per-head masked online-softmax updates (pure VPU).
         softmaxed = []
@@ -529,6 +536,9 @@ def _kernel(
             p_ = jnp.exp(sc - m_new)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p_, axis=-1, keepdims=True)
+            if quant:
+                # Fold the V dequant scale into p (per KV row = per column).
+                p_ = p_ * v_rows
             softmaxed.append((m_new, l_new, alpha, p_))
 
         # Phase 3: all PV matmuls back to back (same scheduling rationale
@@ -536,12 +546,10 @@ def _kernel(
         new_carry = []
         for h in range(Hk):
             vh = kv_all[:, h * 2 * D + D : (h + 1) * 2 * D]
-            if quant:
-                vh = (vh.astype(jnp.float32) * v_col).astype(q_all.dtype)
             m_new, l_new, alpha, p_ = softmaxed[h]
             acc = carry[h][2]
             acc_new = acc * alpha + jax.lax.dot_general(
-                p_.astype(vh.dtype),
+                p_.astype(q_all.dtype),
                 vh,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -939,6 +947,9 @@ def _paged_attention_call(
         fuse_write=fuse_write,
         single_chunk=single_chunk,
         quant=quant,
+        # Mixed bf16xint8 MXU dots are TPU-only (interpret mode rejects
+        # mixed-dtype dot_general).
+        quant_mxu=quant and not interpret,
         alibi=alibi,
         wb_sub=wbs,
         qo_vmem=qo_vmem,

@@ -47,6 +47,11 @@ def main() -> None:
         "fixed cost from bandwidth",
     )
     parser.add_argument(
+        "--int8", action="store_true",
+        help="INT8 KV cache through the fused quantize/write/attend kernel "
+        "(scale pages ride the chunk DMAs; MXU-dequant mixed int8 dots)",
+    )
+    parser.add_argument(
         "--contiguous", action="store_true",
         help="sequential physical pages per sequence (the common allocator "
         "pattern) — exercises the kernel's 4-page coalesced DMA branch; "
@@ -67,6 +72,7 @@ def main() -> None:
     from atoma_infer_tpu.ops.attention import AttentionMetadata
     from atoma_infer_tpu.ops.paged_attention import (
         ragged_paged_attention_fused,
+        ragged_paged_attention_fused_quant,
     )
 
     # Llama-3.2-1B attention shapes.
@@ -80,9 +86,17 @@ def main() -> None:
     scale = D**-0.5
 
     rng = np.random.default_rng(0)
-    kv0 = jnp.asarray(
-        rng.standard_normal((num_blocks, bs, row)), jnp.bfloat16
-    )
+    if args.int8:
+        from atoma_infer_tpu.ops.kv_cache import alloc_kv_scales
+
+        kv0 = jnp.asarray(
+            rng.integers(-127, 128, (num_blocks, bs, row)), jnp.int8
+        )
+        sc0 = alloc_kv_scales(num_blocks, bs) + jnp.bfloat16(0.01)
+    else:
+        kv0 = jnp.asarray(
+            rng.standard_normal((num_blocks, bs, row)), jnp.bfloat16
+        )
     if args.contiguous:
         ids = np.arange(1, S * P + 1)
     else:
@@ -91,8 +105,8 @@ def main() -> None:
     qsl = jnp.arange(S + 1, dtype=jnp.int32)
     num_seqs = jnp.asarray(S, jnp.int32)
 
-    @partial(jax.jit, donate_argnums=(1,), static_argnums=(5,))
-    def steps(q, kv_cache, slots, seq_lens, kn, inner):
+    @partial(jax.jit, donate_argnums=(1, 2), static_argnums=(6,))
+    def steps(q, kv_cache, kv_scales, slots, seq_lens, kn, inner):
         meta = AttentionMetadata(
             slot_mapping=slots,
             block_tables=tables,
@@ -107,15 +121,26 @@ def main() -> None:
             # Chain q through the previous output so XLA cannot CSE the
             # unrolled kernel calls.
             qi = q + 0.0 * out.mean()
-            out, kv_cache = ragged_paged_attention_fused(
-                qi, kv_cache, kn, kn, meta, scale=scale,
-                interpret=jax.default_backend() == "cpu",
-            )
-        return out, kv_cache
+            if args.int8:
+                out, kv_cache, kv_scales = ragged_paged_attention_fused_quant(
+                    qi, kv_cache, kv_scales, kn, kn, meta, scale=scale,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            else:
+                out, kv_cache = ragged_paged_attention_fused(
+                    qi, kv_cache, kn, kn, meta, scale=scale,
+                    interpret=jax.default_backend() == "cpu",
+                )
+        return out, kv_cache, kv_scales
 
     results = []
     for ctx in args.ctxs:
         kv_cache = jnp.array(kv0, copy=True)  # kv0 survives the donation
+        kv_scales = (
+            jnp.array(sc0, copy=True)
+            if args.int8
+            else jnp.zeros((1, bs, 128), jnp.bfloat16)
+        )
         q = jnp.asarray(
             rng.standard_normal((S, Hq, D)), jnp.bfloat16
         )
@@ -130,19 +155,25 @@ def main() -> None:
             )
 
         slots, sl = meta_for(0)
-        out, kv_cache = steps(q, kv_cache, slots, sl, kn, args.inner_steps)
+        out, kv_cache, kv_scales = steps(
+            q, kv_cache, kv_scales, slots, sl, kn, args.inner_steps
+        )
         np.asarray(out)  # compile + sync
 
         t0 = time.perf_counter()
         for i in range(1, 1 + args.outer_steps):
             slots, sl = meta_for(i)
-            out, kv_cache = steps(q, kv_cache, slots, sl, kn, args.inner_steps)
+            out, kv_cache, kv_scales = steps(
+                q, kv_cache, kv_scales, slots, sl, kn, args.inner_steps
+            )
         np.asarray(out)
         dt = time.perf_counter() - t0
 
         n = args.inner_steps * args.outer_steps
         step_ms = dt / n * 1e3
-        kv_bytes = S * ctx * row * 2  # bf16 cache rows streamed per step
+        itemsize = 1 if args.int8 else 2
+        # int8 rows + bf16 scale pages; bf16: cache rows only.
+        kv_bytes = S * ctx * (row * itemsize + (256 if args.int8 else 0))
         gbps = kv_bytes / (dt / n) / 1e9
         results.append(
             {
