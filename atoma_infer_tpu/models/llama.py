@@ -131,6 +131,25 @@ def _linear(x: jnp.ndarray, w) -> jnp.ndarray:
     return jnp.dot(x, w)
 
 
+def _layer_params(layers, i: int):
+    """Layer i's parameter slice. Quantized tensors are NOT sliced — they
+    become layer VIEWS (static ``layer`` index) so the matmul kernel reads
+    the stacked int8 array directly; slicing would make XLA materialize a
+    full per-layer weight copy in HBM before every Pallas call (custom
+    calls cannot consume slice fusions — measured ~400MB/layer of extra
+    traffic and 3.1GB of temps on the 8B decode step). Dense weights slice
+    as before (XLA fuses those slices into the consuming dots)."""
+    import dataclasses
+
+    out = {}
+    for key, value in layers.items():
+        if isinstance(value, QuantizedLinear):
+            out[key] = dataclasses.replace(value, layer=i)
+        else:
+            out[key] = value[i]
+    return out
+
+
 class Llama:
     """Llama forward pass over the paged KV cache (ref: llama.rs:456-478)."""
 
@@ -368,7 +387,7 @@ class Llama:
         new_kv = []
         new_scales = []
         for i in range(num_layers):
-            lp = jax.tree_util.tree_map(lambda x: x[i], params["layers"])
+            lp = _layer_params(params["layers"], i)
             h, kv_c, sc_c = layer_fn(
                 h,
                 lp,

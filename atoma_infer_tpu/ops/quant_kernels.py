@@ -63,9 +63,13 @@ def _scaled_dot(x_blk, w_blk, s_ref, k, groups_per_blk, group_size):
 
 def _kernel_i8(
     x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, groups_per_blk: int,
-    group_size: int, mixed_dot: bool,
+    group_size: int, mixed_dot: bool, stacked: bool,
 ):
     k = pl.program_id(2)
+    if stacked:
+        # Layer view of stacked [L, K, N] weights (leading block dim 1).
+        w_ref = w_ref.at[0]
+        s_ref = s_ref.at[0]
 
     @pl.when(k == 0)
     def _():
@@ -87,9 +91,12 @@ def _kernel_i8(
 
 def _kernel_i4(
     x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, groups_per_blk: int,
-    group_size: int, use_bitcast: bool,
+    group_size: int, use_bitcast: bool, stacked: bool,
 ):
     k = pl.program_id(2)
+    if stacked:
+        w_ref = w_ref.at[0]
+        s_ref = s_ref.at[0]
 
     @pl.when(k == 0)
     def _():
@@ -170,9 +177,14 @@ def quantized_matmul_pallas(
     block_n: int = 2048,
     interpret: bool = False,
     block_m: int = 256,
+    layer: int | None = None,
 ) -> jnp.ndarray:
+    """``layer`` selects one layer of STACKED [L, K(,/2), N] qweight/scales
+    via the BlockSpec index map — no per-layer slice, so XLA never
+    materializes a weight copy for the custom call (see QuantizedTensor)."""
     M, K = x.shape
-    N = qweight.shape[1]
+    stacked = layer is not None
+    N = qweight.shape[-1]
     # Big blocks: v5e executes the grid sequentially at ~0.6µs/step, so at
     # [512, 512] blocks an 8B layer costs ~830 steps ≈ 500µs of pure grid
     # overhead (measured by layer-count scaling). [1024, 2048] blocks cut
@@ -188,7 +200,10 @@ def quantized_matmul_pallas(
     while N % BN:
         BN //= 2
     assert N % BN == 0 and K % BK == 0
-    assert scales.shape == (n_groups, N), (scales.shape, (n_groups, N))
+    want_scales = (
+        (qweight.shape[0], n_groups, N) if stacked else (n_groups, N)
+    )
+    assert scales.shape == want_scales, (scales.shape, want_scales)
 
     xb = x.astype(jnp.bfloat16)
     # M-blocking: decode batches (M ≤ block_m) run one M block and stream
@@ -209,7 +224,8 @@ def quantized_matmul_pallas(
 
     pad_g = (-n_groups) % 8
     if pad_g:
-        scales = jnp.pad(scales, ((0, pad_g), (0, 0)))
+        pad_spec = ((0, 0),) * (scales.ndim - 2) + ((0, pad_g), (0, 0))
+        scales = jnp.pad(scales, pad_spec)
     wk_rows = BK if bits == 8 else BK // 2
     if bits == 8:
         kernel = functools.partial(
@@ -218,6 +234,7 @@ def quantized_matmul_pallas(
             groups_per_blk=groups_per_blk,
             group_size=group_size,
             mixed_dot=not interpret,
+            stacked=stacked,
         )
     else:
         kernel = functools.partial(
@@ -226,18 +243,31 @@ def quantized_matmul_pallas(
             groups_per_blk=groups_per_blk,
             group_size=group_size,
             use_bitcast=not interpret,
+            stacked=stacked,
         )
 
+    if stacked:
+        w_spec = pl.BlockSpec(
+            (1, wk_rows, BN), lambda m, n, k: (layer, k, n),
+            memory_space=pltpu.VMEM,
+        )
+        s_spec = pl.BlockSpec(
+            (1, n_groups + pad_g, BN), lambda m, n, k: (layer, 0, n),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        w_spec = pl.BlockSpec((wk_rows, BN), lambda m, n, k: (k, n),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((n_groups + pad_g, BN), lambda m, n, k: (0, n),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(n_m, N // BN, n_k),
         in_specs=[
             pl.BlockSpec((BM, BK), lambda m, n, k: (m, k),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((wk_rows, BN), lambda m, n, k: (k, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_groups + pad_g, BN), lambda m, n, k: (0, n),
-                         memory_space=pltpu.VMEM),
+            w_spec,
+            s_spec,
         ],
         out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
                                memory_space=pltpu.VMEM),

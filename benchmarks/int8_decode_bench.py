@@ -39,11 +39,12 @@ def main() -> None:
         help="layer count override (layer-scaling cost attribution)",
     )
     parser.add_argument(
-        "--seqs", type=int, default=112,
+        "--seqs", type=int, default=176,
         help="decode batch size (weights are read once per step, so "
         "throughput scales with batch until KV/attention dominate; "
-        "112 is the HBM-fit maximum on v5e-1 — 128 OOMs by 545MB — and "
-        "measured 2736 tok/s vs 2419 at 96)",
+        "176 is the HBM-fit maximum on v5e-1 after the stacked-weight "
+        "kernel views removed 3.1GB of per-layer slice temps — 192 OOMs "
+        "by 31MB; sweep: 112→5253, 128→5542, 160→5786, 176→5831 tok/s)",
     )
     args = parser.parse_args()
     bits = args.bits
