@@ -46,6 +46,13 @@ def main() -> None:
         "kernel views removed 3.1GB of per-layer slice temps — 192 OOMs "
         "by 31MB; sweep: 112→5253, 128→5542, 160→5786, 176→5831 tok/s)",
     )
+    parser.add_argument(
+        "--block-size", type=int, default=32,
+        help="KV page size in tokens (int8 KV needs a multiple of 32; "
+        "bigger pages halve the per-entry DMA descriptor issues — KV page "
+        "+ scale page each ride one descriptor — at the cost of internal "
+        "fragmentation)",
+    )
     args = parser.parse_args()
     bits = args.bits
 
@@ -111,7 +118,7 @@ def main() -> None:
     # int8 weights (~8GB) + bf16 embed + int8 lm_head + KV must fit
     # 15.75GB HBM (112 seqs fits with int8 KV; 128 exceeds by 545MB).
     S = args.seqs
-    block_size = 32
+    block_size = args.block_size
     ctx = 512
     steps = 32
     pages_per_seq = (ctx + steps) // block_size + 1
