@@ -256,6 +256,14 @@ class SchedulerConfig:
     num_speculative_tokens: int = 0
     spec_ngram_max: int = 3
     spec_ngram_min: int = 1
+    # Async scheduling (vLLM-v1 style): schedule + dispatch step N+1 before
+    # step N's sampled tokens reach the host — decode rows read their input
+    # token from the previous step's device-resident output, so host work
+    # (schedule, input prep, detokenize, stop checks) overlaps device
+    # execution. Single-cohort engines only; steps that need token VALUES on
+    # the host (penalties, spec drafts, recompute prefills) drop to the
+    # synchronous path automatically (engine/llm_engine.py).
+    async_scheduling: bool = False
 
     def __post_init__(self) -> None:
         # Invariant checks (ref: config.rs:388-406).

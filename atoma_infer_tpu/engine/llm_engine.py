@@ -92,6 +92,7 @@ class LlmEngine:
         eos_token_ids,
         max_model_len: int,
         extra_schedulers=(),
+        async_scheduling: bool = False,
     ):
         self.scheduler = scheduler
         # Pipeline-parallel serving: one scheduler per cohort (all sharing
@@ -120,6 +121,21 @@ class LlmEngine:
         # Captured by run(); step() may execute on a worker thread, so all
         # queue/future completions hop through call_soon_threadsafe.
         self._loop: Optional[asyncio.AbstractEventLoop] = None
+        # ---- async scheduling (single-cohort only) --------------------------
+        # Step N+1 is scheduled and dispatched BEFORE step N's sampled tokens
+        # reach the host: the scheduler runs on placeholder bookkeeping (each
+        # sampled sequence gets a placeholder token appended, value patched
+        # when the step completes) and the dispatched program reads those
+        # rows' input tokens from the previous step's device-resident output
+        # (worker device-token feed). Host work — schedule, input prep,
+        # detokenize, stop checks — overlaps device execution instead of
+        # serializing with it. Cost: stop conditions are detected one step
+        # late, so a finishing sequence wastes one sampled-and-discarded
+        # token (the vLLM-v1 async-scheduling trade).
+        self._async_scheduling = async_scheduling and not extra_schedulers
+        self._async_pending = None   # (metadata, PendingStep) in flight
+        # seq_id → (group, seq, sampled-row in the in-flight step)
+        self._placeholder_rows: Dict[int, tuple] = {}
 
     # -------------------------------------------------------------- admission
     def add_request(
@@ -168,6 +184,14 @@ class LlmEngine:
                 request_id = self._pending_aborts.get_nowait()
             except queue.Empty:
                 return
+            group = self._groups.get(request_id)
+            if group is not None and any(
+                sid in self._placeholder_rows for sid in group.sequences
+            ):
+                # Resolve the in-flight async step first so the aborted
+                # response carries real tokens, not an unpatched placeholder.
+                self._complete_async()
+                self.scheduler.remove_finished_sequences()
             for scheduler in self.schedulers:
                 group = scheduler.abort_sequence_group(request_id)
                 if group is not None:
@@ -202,8 +226,10 @@ class LlmEngine:
         self._new_requests.put_nowait(None)
 
     def _has_unfinished(self) -> bool:
-        return bool(self._pending) or any(
-            s.has_unfinished_seqs() for s in self.schedulers
+        return (
+            bool(self._pending)
+            or self._async_pending is not None
+            or any(s.has_unfinished_seqs() for s in self.schedulers)
         )
 
     def _scheduler_for(self, group: SequenceGroup):
@@ -228,8 +254,12 @@ class LlmEngine:
         metadata, outputs = self.scheduler.schedule()
         for group in outputs.ignored_seq_groups:
             self._finish_group(group)
+        finished: List[GenerateRequestOutput] = []
         if not metadata and outputs.is_empty():
-            return []
+            if self._async_pending is not None:
+                finished += self._complete_async()
+                self.scheduler.remove_finished_sequences()
+            return finished
 
         request = ExecuteModelRequest(
             sequence_groups_metadata=metadata,
@@ -238,11 +268,150 @@ class LlmEngine:
             blocks_to_copy=outputs.blocks_to_copy,
             running_queue_size=outputs.running_queue_size,
         )
-        group_outputs = self.worker.execute_model(request)
-        finished = self._process_outputs(metadata, group_outputs)
+
+        if self._async_scheduling and self._async_eligible(metadata):
+            # Async stepping: dispatch this step BEFORE fetching the
+            # in-flight one — rows continuing a just-sampled sequence read
+            # their input token on device (worker feed), so the device never
+            # waits for the host round trip. Then patch the in-flight step's
+            # placeholders (detokenize/stop checks overlap this dispatch's
+            # device execution), and finally placeholder-book this step.
+            feed = None
+            if self._async_pending is not None:
+                feed = (
+                    self._async_pending[1].tokens_device,
+                    {
+                        sid: row
+                        for sid, (_, _, row) in self._placeholder_rows.items()
+                    },
+                )
+            pending = self.worker.dispatch(request, feed=feed)
+            finished += self._complete_async()
+            if pending is not None:
+                self._apply_placeholders(metadata)
+                self._async_pending = (metadata, pending)
+        else:
+            # Synchronous path (penalties, spec decode, or a prefill that
+            # needs an unpatched token value): resolve the in-flight step
+            # first so input prep reads real token ids, then execute.
+            finished += self._complete_async()
+            group_outputs = self.worker.execute_model(request)
+            finished += self._process_outputs(metadata, group_outputs)
         self.scheduler.remove_finished_sequences()
         metrics.RUNNING_SEQS.set(len(self.scheduler.running))
         return finished
+
+    # ------------------------------------------------------- async scheduling
+    _PLACEHOLDER = 0  # patched by position, value never read on host
+
+    def _async_eligible(self, metadata) -> bool:
+        """A step can be dispatched ahead of the in-flight one iff nothing in
+        it needs the in-flight step's token VALUES on the host: penalties
+        read the newest token into ``recent_tokens``, speculative drafts are
+        built from real tokens, and a (recompute-)prefill's input ids must be
+        real. Pure decode — the steady state where host overlap matters —
+        always qualifies."""
+        for meta in metadata:
+            p = meta.next_token_chooser_params
+            if p.repetition_penalty != 1.0 or p.frequency_penalty != 0.0:
+                return False
+            if getattr(meta, "spec_token_ids", None):
+                return False
+            if meta.is_prompt and self._placeholder_rows:
+                for seq_id in meta.seq_data:
+                    if seq_id in self._placeholder_rows:
+                        return False
+        return True
+
+    def _apply_placeholders(self, metadata) -> None:
+        """Advance bookkeeping for a dispatched-but-unfetched step: computed
+        token counts move forward and every sampled sequence appends a
+        placeholder token (so the next schedule() sees correct lengths and
+        block demand). Values are patched in :meth:`_complete_async`."""
+        row = 0
+        for meta in metadata:
+            group = self._groups.get(meta.request_id)
+            if group is not None:
+                group.update_num_computed_tokens(meta.token_chunk_size)
+            for seq_id in meta.seq_data:
+                r = row
+                row += 1
+                if group is None or not meta.do_sample:
+                    continue
+                seq = group.sequences.get(seq_id)
+                if seq is None or seq.is_finished():
+                    continue
+                seq.append_token_id(self._PLACEHOLDER, 0.0)
+                self._placeholder_rows[seq_id] = (group, seq, r)
+
+    def _complete_async(self) -> List[GenerateRequestOutput]:
+        """Fetch the in-flight step and patch its placeholder tokens with the
+        real values, then run the usual detokenize/stop/stream path on them."""
+        if self._async_pending is None:
+            return []
+        metadata, pending = self._async_pending
+        self._async_pending = None
+        placeholders = self._placeholder_rows
+        self._placeholder_rows = {}
+        group_outputs = pending.complete()
+        now = time.monotonic()
+        finished: List[GenerateRequestOutput] = []
+        for meta in metadata:
+            group = self._groups.get(meta.request_id)
+            if group is None:
+                continue
+            out = group_outputs.get(meta.request_id)
+            if out is None:
+                continue
+            # Computed counts already advanced at dispatch time.
+            group.metrics.last_token_time = now
+            if not meta.do_sample:
+                continue
+            group.maybe_set_first_token_time(now)
+            for seq_id, seq_out in out.outputs.items():
+                entry = placeholders.get(seq_id)
+                if entry is None:
+                    continue  # finished/aborted after dispatch: discard
+                _, seq, _ = entry
+                if seq.is_finished():
+                    continue
+                self._patch_sequence(group, seq, seq_out)
+            if group.is_finished():
+                finished.append(self._finish_group(group))
+        return finished
+
+    def _patch_sequence(self, group: SequenceGroup, seq: Sequence, seq_out):
+        """Replace the trailing placeholder with the sampled token, then
+        detokenize + stop-check + stream it (the async analog of
+        :meth:`_update_sequence` for exactly one token)."""
+        data = seq.sequence_data
+        idx = len(data.output_token_ids) - 1
+        data.output_token_ids[idx] = seq_out.output_token
+        data.cumulative_logprob += seq_out.logprob
+        lp = seq.output_logprobs[idx]
+        lp.token_id = seq_out.output_token
+        lp.logprob = seq_out.logprob
+        lp.top_tokens = seq_out.top_tokens
+        metrics.GENERATED_TOKENS.inc()
+        new_text, finish_reason = self._postprocess_token(
+            group, seq, seq_out.output_token
+        )
+        if seq.is_finished():
+            self.scheduler.free_seq(seq)
+        queue = self._stream_queues.get(group.request_id)
+        if queue is not None:
+            self._put_threadsafe(
+                queue,
+                StreamChunk(
+                    request_id=group.request_id,
+                    text=new_text,
+                    full_text=seq.output_text,
+                    token_id=seq_out.output_token,
+                    logprob=seq_out.logprob,
+                    finished=seq.is_finished(),
+                    finish_reason=finish_reason,
+                ),
+            )
 
     def _step_pipelined(self) -> List[GenerateRequestOutput]:
         """One pipelined engine iteration: complete the active cohort's
@@ -361,43 +530,10 @@ class LlmEngine:
             if tok_idx == 0 and seq_out.top_tokens is not None:
                 seq.output_logprobs[-1].top_tokens = seq_out.top_tokens
             metrics.GENERATED_TOKENS.inc()
-            new_text = self.detokenizer.decode_sequence_inplace(seq)
+            new_text, finish_reason = self._postprocess_token(
+                group, seq, token_id
+            )
             step_text_parts.append(new_text)
-
-            stopping = group.stopping_criteria
-
-            # Stop strings: truncate at the earliest stop match
-            # (ref: llm_engine.rs:438-460). Incremental: only the tail that
-            # a match could newly span (new text + longest stop − 1) is
-            # searched, not the whole output each token — O(stop_len)/step.
-            for stop_str in stopping.stop_sequences:
-                search_from = max(
-                    0,
-                    len(seq.output_text) - len(new_text) - len(stop_str) + 1,
-                )
-                idx = seq.output_text.find(stop_str, search_from)
-                if idx != -1:
-                    seq.output_text = seq.output_text[:idx]
-                    seq.status = SequenceStatus.FINISHED_STOPPED
-                    seq.stop_reason = stop_str
-                    finish_reason = "stop_sequence"
-                    break
-
-            if finish_reason is None:
-                if (
-                    not stopping.ignore_eos_token
-                    and token_id in self.eos_token_ids
-                ):
-                    seq.status = SequenceStatus.FINISHED_STOPPED
-                    seq.stop_reason = token_id
-                    finish_reason = "eos_token"
-                elif seq.get_output_len() >= stopping.max_new_tokens:
-                    seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
-                    finish_reason = "length"
-                elif seq.get_len() >= self.max_model_len:
-                    seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
-                    finish_reason = "model_length"
-
             if seq.is_finished():
                 break
 
@@ -410,7 +546,7 @@ class LlmEngine:
                 queue,
                 StreamChunk(
                     request_id=group.request_id,
-                    text="".join(step_text_parts),
+                    text="".join(p for p in step_text_parts if p),
                     full_text=seq.output_text,
                     token_id=last_token,
                     logprob=last_logprob,
@@ -418,6 +554,50 @@ class LlmEngine:
                     finish_reason=finish_reason,
                 ),
             )
+
+    def _postprocess_token(
+        self, group: SequenceGroup, seq: Sequence, token_id: int
+    ) -> tuple:
+        """Detokenize the sequence's newest token and apply the stop checks
+        (ref: llm_engine.rs:367-521); returns ``(new_text, finish_reason)``
+        and sets the sequence's finished status/stop_reason. The token must
+        already be appended (sync path) or patched in place (async path)."""
+        new_text = self.detokenizer.decode_sequence_inplace(seq)
+        stopping = group.stopping_criteria
+        finish_reason: Optional[str] = None
+
+        # Stop strings: truncate at the earliest stop match
+        # (ref: llm_engine.rs:438-460). Incremental: only the tail that
+        # a match could newly span (new text + longest stop − 1) is
+        # searched, not the whole output each token — O(stop_len)/step.
+        for stop_str in stopping.stop_sequences:
+            search_from = max(
+                0,
+                len(seq.output_text) - len(new_text) - len(stop_str) + 1,
+            )
+            idx = seq.output_text.find(stop_str, search_from)
+            if idx != -1:
+                seq.output_text = seq.output_text[:idx]
+                seq.status = SequenceStatus.FINISHED_STOPPED
+                seq.stop_reason = stop_str
+                finish_reason = "stop_sequence"
+                break
+
+        if finish_reason is None:
+            if (
+                not stopping.ignore_eos_token
+                and token_id in self.eos_token_ids
+            ):
+                seq.status = SequenceStatus.FINISHED_STOPPED
+                seq.stop_reason = token_id
+                finish_reason = "eos_token"
+            elif seq.get_output_len() >= stopping.max_new_tokens:
+                seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                finish_reason = "length"
+            elif seq.get_len() >= self.max_model_len:
+                seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
+                finish_reason = "model_length"
+        return new_text, finish_reason
 
     def _finish_group(self, group: SequenceGroup) -> GenerateRequestOutput:
         group.set_finished_time(time.monotonic())

@@ -243,6 +243,7 @@ class LlmService:
             tokenizer,
             cfg.eos_token_ids,
             config.scheduler.max_model_len,
+            async_scheduling=config.scheduler.async_scheduling,
         )
         return cls(
             config,

@@ -203,7 +203,12 @@ class PipelinedModelWorker(ModelWorker):
             return jax.device_put(x, self._rep[s])
         return x
 
-    def _invoke(self, model_input, sampling_arrays, sample_steps, sampling):
+    def _invoke(
+        self, model_input, sampling_arrays, sample_steps, sampling, prev=None
+    ):
+        # ``prev`` (async-scheduling device-token feed) is unused: pipelined
+        # engines overlap steps across cohorts instead (one in-flight step
+        # per cohort), so the single-cohort async path never runs here.
         meta = model_input.attention_metadata(self.cache_config.block_size)
         positions = jnp.asarray(model_input.positions)
 

@@ -64,6 +64,12 @@ class PendingStep:
         self._spec_draft = spec_draft  # [S, K] host drafts (-1 pad) | None
         self._spec_k = spec_k          # [S] draft counts | None
 
+    @property
+    def tokens_device(self):
+        """The sampled-token device array ([S] int32, non-spec layout) —
+        the async-scheduling feed for the NEXT dispatched step."""
+        return self._tokens
+
     def complete(self) -> Dict[str, SequenceGroupOutput]:
         tokens_np = np.asarray(self._tokens)
         logprobs_np = np.asarray(self._logprobs)
@@ -166,6 +172,7 @@ class ModelWorker:
                 "needs_typical",
                 "top_n",
                 "spec",
+                "feed",
             ),
             donate_argnames=("kv_cache", "kv_scales"),
         )
@@ -182,13 +189,26 @@ class ModelWorker:
         selected_token_indices,
         sampling,               # dict of device arrays
         step,
+        prev_tokens=None,       # [S_prev] device tokens of the prior step
+        prev_map=None,          # [T] int32: row in prev_tokens, −1 = host id
         *,
         needs_sampling: bool,
         needs_penalties: bool,
         needs_typical: bool,
         top_n: int,
         spec: bool = False,     # static: speculative-verification layout
+        feed: bool = False,     # static: async scheduling's device-token feed
     ):
+        if feed:
+            # Async scheduling (engine step N+1 dispatched before step N's
+            # tokens reach the host): rows continuing a sequence sampled last
+            # step read their input token straight from the previous step's
+            # device-resident output — the host placeholder is never used, so
+            # the two dispatches chain without a host round-trip.
+            gathered = prev_tokens[
+                jnp.clip(prev_map, 0, prev_tokens.shape[0] - 1)
+            ]
+            token_ids = jnp.where(prev_map >= 0, gathered, token_ids)
         if kv_scales is not None:
             hidden, kv_cache, kv_scales = self.model.forward(
                 params, token_ids, positions, kv_cache, attn_meta,
@@ -256,12 +276,18 @@ class ModelWorker:
 
     @instrument("worker.dispatch")
     def dispatch(
-        self, request: ExecuteModelRequest
+        self, request: ExecuteModelRequest, feed=None
     ) -> Optional[PendingStep]:
         """Dispatch one step without fetching results (JAX queues the work
         and returns immediately); ``PendingStep.complete()`` blocks on the
         sampled tokens. Cache-maintenance swaps/copies execute first, in the
-        reference's order (worker.rs:111-160)."""
+        reference's order (worker.rs:111-160).
+
+        ``feed`` — async-scheduling device-token feed: a
+        ``(prev_tokens_device, {seq_id: prev_row})`` pair from the still
+        in-flight previous step. Decode rows of those sequences read their
+        input token from ``prev_tokens_device`` on device instead of the
+        host placeholder (see LlmEngine async stepping)."""
         t0 = time.monotonic()
         self._cache_execute(request)
         if not request.sequence_groups_metadata:
@@ -316,8 +342,22 @@ class ModelWorker:
             "recent_tokens": jnp.asarray(sampling.recent_tokens),
         }
 
+        prev = None
+        if feed is not None:
+            prev_tokens, rows_by_seq = feed
+            qsl = model_input.query_start_loc
+            prev_map = np.full(
+                model_input.token_ids.shape[0], -1, dtype=np.int32
+            )
+            for i, seq_id in enumerate(model_input.seq_ids):
+                row = rows_by_seq.get(seq_id)
+                # Decode rows only (one input token — the placeholder).
+                if row is not None and qsl[i + 1] - qsl[i] == 1:
+                    prev_map[qsl[i]] = row
+            prev = (prev_tokens, prev_map)
+
         tokens, logprobs, top_out = self._invoke(
-            model_input, sampling_arrays, sample_steps, sampling
+            model_input, sampling_arrays, sample_steps, sampling, prev=prev
         )
         self._step_counter += 1
         return PendingStep(
@@ -330,7 +370,9 @@ class ModelWorker:
             spec_k=model_input.spec_k,
         )
 
-    def _invoke(self, model_input, sampling_arrays, sample_steps, sampling):
+    def _invoke(
+        self, model_input, sampling_arrays, sample_steps, sampling, prev=None
+    ):
         """Run the jitted step; update the cache-engine buffer refs; return
         the (device-array) sampled tokens/logprobs/top-n. Overridden by the
         pipelined worker to chain per-stage programs."""
@@ -339,6 +381,12 @@ class ModelWorker:
             model_input.spec_rows if spec
             else model_input.selected_token_indices
         )
+        feed = prev is not None
+        if feed:
+            prev_tokens, prev_map = prev
+            prev_args = (prev_tokens, jnp.asarray(prev_map))
+        else:
+            prev_args = (None, None)
         kv_cache, kv_scales, tokens, logprobs, top_out = self._step_fn(
             self.params,
             self.cache_engine.kv_cache,
@@ -349,11 +397,13 @@ class ModelWorker:
             jnp.asarray(selected),
             sampling_arrays,
             jnp.asarray(sample_steps),
+            *prev_args,
             needs_sampling=sampling.needs_sampling,
             needs_penalties=sampling.needs_penalties,
             needs_typical=sampling.needs_typical,
             top_n=sampling.top_n,
             spec=spec,
+            feed=feed,
         )
         self.cache_engine.kv_cache = kv_cache
         if kv_scales is not None:

@@ -90,6 +90,7 @@ async def main_async(args) -> None:
             max_model_len=args.max_model_len,
             enable_chunked_prefill=args.chunked_prefill,
             num_speculative_tokens=args.spec_tokens,
+            async_scheduling=args.async_scheduling,
         ),
         validation=ValidationConfig(
             max_input_tokens=args.max_model_len - 1,
@@ -167,6 +168,7 @@ def main() -> None:
     parser.add_argument("--max-seqs", type=int, default=64)
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--chunked-prefill", action="store_true")
+    parser.add_argument("--async-scheduling", action="store_true")
     parser.add_argument(
         "--spec-tokens", type=int, default=0,
         help="speculative decoding: draft up to N tokens per greedy decode "

@@ -48,6 +48,7 @@ async def run_bench(args) -> dict:
             max_num_sequences=args.max_seqs,
             max_model_len=args.max_model_len,
             enable_chunked_prefill=args.chunked_prefill,
+            async_scheduling=args.async_scheduling,
         ),
         validation=ValidationConfig(
             max_input_tokens=args.max_model_len - args.max_tokens - 1,
@@ -130,6 +131,7 @@ def main() -> None:
     parser.add_argument("--max-seqs", type=int, default=64)
     parser.add_argument("--max-model-len", type=int, default=2048)
     parser.add_argument("--chunked-prefill", action="store_true")
+    parser.add_argument("--async-scheduling", action="store_true")
     parser.add_argument("--arrival-delay-ms", type=float, default=0.0)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
