@@ -417,7 +417,11 @@ class LlmService:
         valid = await self.validation.validate(request)
 
         eos = self.eos_token_ids
-        eos_id = eos[0] if isinstance(eos, (list, tuple)) else eos
+        eos_id = (
+            (eos[0] if eos else None)
+            if isinstance(eos, (list, tuple))
+            else eos
+        )
         # Admit best_of parallel candidates (ref: llm_service.rs:374-388);
         # the engine returns the top-n by cumulative logprob at finish.
         num_seqs = max(valid.best_of, valid.n, 1)

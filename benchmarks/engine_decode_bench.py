@@ -1,0 +1,180 @@
+"""Full-engine decode throughput on real TPU (Llama-3.2-1B shapes).
+
+Unlike bench.py / int8_decode_bench.py — which time the jitted step in a
+synthetic dispatch loop — this drives the COMPLETE serving stack per step:
+scheduler → native block manager → input prep → Pallas kernels → on-device
+sampler → detokenizer → stop checks. The gap between this number and
+bench.py's raw-step number is pure host overhead; ``--async-scheduling``
+(engine/llm_engine.py) overlaps that host work with device execution and
+this benchmark is its A/B harness.
+
+Methodology notes (CLAUDE.md): one TPU process at a time; timing comes from
+request metrics (first-token → finished), not block_until_ready. Compile
+count is kept to two programs (one all-sequence prefill bucket + one decode
+bucket) by sizing max_num_batched_tokens to fit every prompt in one step and
+disabling EOS (eos_token_ids=()) so the decode batch never shrinks until
+every sequence hits the token budget on the same step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--seqs", type=int, default=256)
+    parser.add_argument("--prompt-len", type=int, default=64)
+    parser.add_argument("--max-new", type=int, default=97)
+    parser.add_argument("--block-size", type=int, default=32)
+    parser.add_argument("--async-scheduling", action="store_true")
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from atoma_infer_tpu.config import (
+        CacheConfig,
+        EngineConfig,
+        ModelConfig,
+        SchedulerConfig,
+        ValidationConfig,
+    )
+    from atoma_infer_tpu.engine.llm_service import LlmService
+    from atoma_infer_tpu.entrypoints.offline import ByteTokenizer
+    from atoma_infer_tpu.models.llama import Llama, LlamaConfig
+    from atoma_infer_tpu.types import GenerateParameters, GenerateRequest
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if on_tpu:
+        # Llama-3.2-1B shapes (bench.py parity; random weights).
+        cfg = LlamaConfig(
+            vocab_size=128256,
+            hidden_size=2048,
+            intermediate_size=8192,
+            num_hidden_layers=16,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            head_dim=64,
+            max_position_embeddings=4096,
+            tie_word_embeddings=True,
+            eos_token_ids=(),  # nothing stops early: decode bucket is stable
+        )
+    else:
+        cfg = LlamaConfig(
+            vocab_size=2048,
+            hidden_size=256,
+            intermediate_size=512,
+            num_hidden_layers=2,
+            num_attention_heads=8,
+            num_key_value_heads=4,
+            head_dim=32,
+            max_position_embeddings=2048,
+            tie_word_embeddings=True,
+            eos_token_ids=(),
+        )
+        args.seqs = min(args.seqs, 32)
+
+    S, P, N = args.seqs, args.prompt_len, args.max_new
+    total_len = P + N
+    blocks_per_seq = -(-total_len // args.block_size)
+    model = Llama(cfg, dtype=jnp.bfloat16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    config = EngineConfig(
+        model=ModelConfig(model_name="llama-1b-shapes", dtype="bfloat16"),
+        cache=CacheConfig(
+            block_size=args.block_size,
+            num_device_blocks_override=S * blocks_per_seq + 16,
+            num_host_blocks_override=32,
+        ),
+        scheduler=SchedulerConfig(
+            # Whole-batch prefill in ONE step (one compile), then pure
+            # decode steps at a single S-sequence bucket.
+            max_num_batched_tokens=max(S * P, total_len + 1),
+            max_num_sequences=S,
+            max_model_len=total_len + 1,
+            async_scheduling=args.async_scheduling,
+        ),
+        validation=ValidationConfig(
+            max_input_tokens=P + 1, max_total_tokens=total_len + 1
+        ),
+    )
+    service = LlmService.start(
+        config, model=model, params=params,
+        tokenizer=ByteTokenizer(cfg.vocab_size),
+    )
+
+    rng = np.random.default_rng(0)
+
+    async def go():
+        task = asyncio.create_task(service.engine.run())
+        futs = []
+        for i in range(S):
+            # Distinct random prompts (identical computations can be served
+            # from a cache through the tunnel — CLAUDE.md).
+            body = bytes(
+                rng.integers(32, 127, size=P, dtype=np.uint8)
+            ).decode("latin-1")
+            futs.append(
+                await service.handle_request(
+                    GenerateRequest(
+                        request_id=f"r{i}",
+                        inputs=body,
+                        parameters=GenerateParameters(max_new_tokens=N),
+                    )
+                )
+            )
+        results = await asyncio.wait_for(
+            asyncio.gather(*futs), timeout=3600
+        )
+        service.stop()
+        task.cancel()
+        return results
+
+    t_start = time.monotonic()
+    results = asyncio.run(go())
+    wall = time.monotonic() - t_start
+
+    tokens = sum(len(r.outputs[0].token_ids) for r in results)
+    assert tokens == S * N, (tokens, S * N)
+    # Steady-state decode: every sequence's first token comes out of the
+    # single prefill step; the remaining N−1 tokens per sequence are decode
+    # steps. first_token_time is stamped when the prefill step completes.
+    first_tok = max(r.metrics.first_token_time for r in results)
+    done = max(r.metrics.finished_time for r in results)
+    decode_tokens = S * (N - 1)
+    decode_s = done - first_tok
+    print(
+        json.dumps(
+            {
+                "metric": "engine_decode_tokens_per_sec_llama1b_bf16",
+                "value": round(decode_tokens / decode_s, 1),
+                "unit": "tokens/s",
+                "async_scheduling": args.async_scheduling,
+                "seqs": S,
+                "prompt_len": P,
+                "max_new": N,
+                "decode_ms_per_step": round(1000 * decode_s / (N - 1), 2),
+                "wall_s": round(wall, 1),
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
