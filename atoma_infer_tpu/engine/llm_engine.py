@@ -30,7 +30,7 @@ from ..sequence import (
     SequenceStatus,
 )
 from ..server import metrics
-from ..utils.tracing import instrument
+from ..utils.tracing import instrument, span
 from .detokenizer import Detokenizer
 from .worker import ModelWorker
 
@@ -354,6 +354,8 @@ class LlmEngine:
         placeholders = self._placeholder_rows
         self._placeholder_rows = {}
         group_outputs = pending.complete()
+        _span = span("engine.patch_outputs")
+        _span.__enter__()
         now = time.monotonic()
         finished: List[GenerateRequestOutput] = []
         for meta in metadata:
@@ -378,6 +380,7 @@ class LlmEngine:
                 self._patch_sequence(group, seq, seq_out)
             if group.is_finished():
                 finished.append(self._finish_group(group))
+        _span.__exit__(None, None, None)
         return finished
 
     def _patch_sequence(self, group: SequenceGroup, seq: Sequence, seq_out):
@@ -466,6 +469,7 @@ class LlmEngine:
         return finished
 
     # ---------------------------------------------------------------- outputs
+    @instrument("engine.process_outputs")
     def _process_outputs(
         self,
         metadata_list,

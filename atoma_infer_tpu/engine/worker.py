@@ -32,7 +32,7 @@ from .cache_engine import CacheEngine
 from .input_prep import prepare_model_input
 from .sampler import PENALTY_WINDOW, SamplingTensors, sample
 from ..server import metrics
-from ..utils.tracing import instrument
+from ..utils.tracing import instrument, span
 
 logger = logging.getLogger(__name__)
 
@@ -71,8 +71,9 @@ class PendingStep:
         return self._tokens
 
     def complete(self) -> Dict[str, SequenceGroupOutput]:
-        tokens_np = np.asarray(self._tokens)
-        logprobs_np = np.asarray(self._logprobs)
+        with span("worker.fetch"):
+            tokens_np = np.asarray(self._tokens)
+            logprobs_np = np.asarray(self._logprobs)
         spec = self._spec_k is not None  # [S, K+1] layout this step
         top_ids_np = top_lps_np = None
         if self._top_out is not None:
@@ -293,54 +294,70 @@ class ModelWorker:
         if not request.sequence_groups_metadata:
             return None
 
-        model_input = prepare_model_input(
-            request.sequence_groups_metadata,
-            block_size=self.cache_config.block_size,
-            max_num_batched_tokens=self.scheduler_config.max_num_batched_tokens,
-            max_num_seqs=self.scheduler_config.max_num_sequences,
-            max_pages_per_seq=self.max_pages_per_seq,
-            sliding_window=self.cache_config.sliding_window,
-            num_spec_tokens=getattr(
-                self.scheduler_config, "num_speculative_tokens", 0
-            ),
-        )
+        with span("worker.input_prep"):
+            model_input = prepare_model_input(
+                request.sequence_groups_metadata,
+                block_size=self.cache_config.block_size,
+                max_num_batched_tokens=(
+                    self.scheduler_config.max_num_batched_tokens
+                ),
+                max_num_seqs=self.scheduler_config.max_num_sequences,
+                max_pages_per_seq=self.max_pages_per_seq,
+                sliding_window=self.cache_config.sliding_window,
+                num_spec_tokens=getattr(
+                    self.scheduler_config, "num_speculative_tokens", 0
+                ),
+            )
         S = model_input.seq_lens.shape[0]
 
         import dataclasses as _dc
 
-        params_list = []
-        recent = []
-        top_n_list = []
-        sample_steps = np.zeros(S, dtype=np.int32)
-        i = 0
-        for meta in request.sequence_groups_metadata:
-            for idx, (seq_id, seq_data) in enumerate(meta.seq_data.items()):
-                p = meta.next_token_chooser_params
-                if idx > 0:
-                    # Distinct sampling streams per best_of candidate.
-                    p = _dc.replace(p, seed=p.seed + idx)
-                params_list.append(p)
-                recent.append(seq_data.get_token_ids()[-PENALTY_WINDOW:])
-                top_n_list.append(meta.top_n_tokens)
-                # PRNG fold value: the sequence's own position, so sampling
-                # replays identically across preemption/swap reschedules.
-                sample_steps[i] = seq_data.get_output_len()
-                i += 1
-        sampling = SamplingTensors.build(params_list, recent, S, top_n_list)
+        with span("worker.sampling_build"):
+            params_list = []
+            recent = []
+            top_n_list = []
+            sample_steps = np.zeros(S, dtype=np.int32)
+            i = 0
+            for meta in request.sequence_groups_metadata:
+                for idx, (seq_id, seq_data) in enumerate(
+                    meta.seq_data.items()
+                ):
+                    p = meta.next_token_chooser_params
+                    if idx > 0:
+                        # Distinct sampling streams per best_of candidate.
+                        p = _dc.replace(p, seed=p.seed + idx)
+                    params_list.append(p)
+                    recent.append(
+                        seq_data.get_token_ids()[-PENALTY_WINDOW:]
+                    )
+                    top_n_list.append(meta.top_n_tokens)
+                    # PRNG fold value: the sequence's own position, so
+                    # sampling replays identically across preemption/swap
+                    # reschedules.
+                    sample_steps[i] = seq_data.get_output_len()
+                    i += 1
+            sampling = SamplingTensors.build(
+                params_list, recent, S, top_n_list
+            )
 
-        sampling_arrays = {
-            "temperature": jnp.asarray(sampling.temperature),
-            "top_k": jnp.asarray(sampling.top_k),
-            "top_p": jnp.asarray(sampling.top_p),
-            "typical_p": jnp.asarray(sampling.typical_p),
-            "do_sample": jnp.asarray(
-                sampling.do_sample & model_input.sample_mask
-            ),
-            "seeds": jnp.asarray(sampling.seeds),
-            "repetition_penalty": jnp.asarray(sampling.repetition_penalty),
-            "frequency_penalty": jnp.asarray(sampling.frequency_penalty),
-            "recent_tokens": jnp.asarray(sampling.recent_tokens),
-        }
+        with span("worker.transfers"):
+            sampling_arrays = {
+                "temperature": jnp.asarray(sampling.temperature),
+                "top_k": jnp.asarray(sampling.top_k),
+                "top_p": jnp.asarray(sampling.top_p),
+                "typical_p": jnp.asarray(sampling.typical_p),
+                "do_sample": jnp.asarray(
+                    sampling.do_sample & model_input.sample_mask
+                ),
+                "seeds": jnp.asarray(sampling.seeds),
+                "repetition_penalty": jnp.asarray(
+                    sampling.repetition_penalty
+                ),
+                "frequency_penalty": jnp.asarray(
+                    sampling.frequency_penalty
+                ),
+                "recent_tokens": jnp.asarray(sampling.recent_tokens),
+            }
 
         prev = None
         if feed is not None:
@@ -356,9 +373,11 @@ class ModelWorker:
                     prev_map[qsl[i]] = row
             prev = (prev_tokens, prev_map)
 
-        tokens, logprobs, top_out = self._invoke(
-            model_input, sampling_arrays, sample_steps, sampling, prev=prev
-        )
+        with span("worker.invoke"):
+            tokens, logprobs, top_out = self._invoke(
+                model_input, sampling_arrays, sample_steps, sampling,
+                prev=prev,
+            )
         self._step_counter += 1
         return PendingStep(
             request.sequence_groups_metadata,

@@ -149,6 +149,12 @@ def main() -> None:
     results = asyncio.run(go())
     wall = time.monotonic() - t_start
 
+    if os.environ.get("ATOMA_TRACE"):
+        from atoma_infer_tpu.utils import tracing
+
+        for name, row in sorted(tracing.summary().items()):
+            print(f"# span {name}: {row}", file=sys.stderr)
+
     tokens = sum(len(r.outputs[0].token_ids) for r in results)
     assert tokens == S * N, (tokens, S * N)
     # Steady-state decode: every sequence's first token comes out of the
