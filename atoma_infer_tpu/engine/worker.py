@@ -406,24 +406,33 @@ class ModelWorker:
             prev_args = (prev_tokens, jnp.asarray(prev_map))
         else:
             prev_args = (None, None)
-        kv_cache, kv_scales, tokens, logprobs, top_out = self._step_fn(
-            self.params,
-            self.cache_engine.kv_cache,
-            self.cache_engine.kv_scales,
-            jnp.asarray(model_input.token_ids),
-            jnp.asarray(model_input.positions),
-            model_input.attention_metadata(self.cache_config.block_size),
-            jnp.asarray(selected),
-            sampling_arrays,
-            jnp.asarray(sample_steps),
-            *prev_args,
-            needs_sampling=sampling.needs_sampling,
-            needs_penalties=sampling.needs_penalties,
-            needs_typical=sampling.needs_typical,
-            top_n=sampling.top_n,
-            spec=spec,
-            feed=feed,
-        )
+        with span("worker.meta_transfer"):
+            attn_meta = model_input.attention_metadata(
+                self.cache_config.block_size
+            )
+            tok_dev = jnp.asarray(model_input.token_ids)
+            pos_dev = jnp.asarray(model_input.positions)
+            sel_dev = jnp.asarray(selected)
+            steps_dev = jnp.asarray(sample_steps)
+        with span("worker.step_call"):
+            kv_cache, kv_scales, tokens, logprobs, top_out = self._step_fn(
+                self.params,
+                self.cache_engine.kv_cache,
+                self.cache_engine.kv_scales,
+                tok_dev,
+                pos_dev,
+                attn_meta,
+                sel_dev,
+                sampling_arrays,
+                steps_dev,
+                *prev_args,
+                needs_sampling=sampling.needs_sampling,
+                needs_penalties=sampling.needs_penalties,
+                needs_typical=sampling.needs_typical,
+                top_n=sampling.top_n,
+                spec=spec,
+                feed=feed,
+            )
         self.cache_engine.kv_cache = kv_cache
         if kv_scales is not None:
             self.cache_engine.kv_scales = kv_scales

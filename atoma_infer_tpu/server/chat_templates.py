@@ -31,6 +31,61 @@ def family_for_model(model_id: str) -> str:
     return "llama3"
 
 
+def _function_call_string(family: str, tool_call: Dict[str, Any]) -> str:
+    """Render one assistant tool call the way each model family expects
+    (ref: ToolCall::function_call_string, chat_completions.rs:576-640).
+
+    - llama3/llama2 families: ``name(k='str', n=1, b=true)`` — arguments may
+      arrive as a JSON object or a serialized-JSON string; unparseable
+      strings are passed through verbatim as ``name(raw)``.
+    - hermes3: ``{"arguments": {...}, "name": "fn"}`` with the reference's
+      space-after-colon quirk (compact JSON, then ``":"`` → ``": "``).
+    """
+    fn = tool_call.get("function", {}) or {}
+    name = fn.get("name", "")
+    args = fn.get("arguments")
+    if isinstance(args, str):
+        try:
+            parsed = json.loads(args)
+        except (ValueError, TypeError):
+            parsed = None
+        if isinstance(parsed, dict):
+            args = parsed
+        elif family == "hermes3":
+            args = parsed if parsed is not None else args
+        else:
+            return f"{name}({args})"
+
+    if family == "hermes3":
+        formatted = json.dumps(
+            args if args is not None else {}, separators=(",", ":")
+        ).replace('":"', '": "')
+        return f'{{"arguments": {formatted}, "name": "{name}"}}'
+
+    if not isinstance(args, dict):
+        return f"{name}()"
+
+    def fmt(v: Any) -> str:
+        if isinstance(v, str):
+            return f"'{v}'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return json.dumps(v)
+        return json.dumps(v, separators=(",", ":"))
+
+    params = ", ".join(f"{k}={fmt(v)}" for k, v in args.items())
+    return f"{name}({params})"
+
+
+def _tool_calls_str(family: str, msg: Dict[str, Any]) -> Optional[str]:
+    """Joined function-call string for an assistant message, or None."""
+    calls = msg.get("tool_calls") or []
+    if not calls:
+        return None
+    return ", ".join(_function_call_string(family, tc) for tc in calls)
+
+
 def _content_str(content: Any) -> str:
     """OpenAI content can be a string or a list of typed parts."""
     if content is None:
@@ -96,6 +151,12 @@ def render_llama3(
             role = "ipython"
         if i == 0 and role == "system" and tool_prompt:
             text += tool_prompt
+        if role == "assistant":
+            # Assistant tool calls render as a <|python_tag|> call list and
+            # REPLACE the content (ref: chat_completions.rs:351-375).
+            calls = _tool_calls_str("llama3", msg)
+            if calls is not None:
+                text = f"<|python_tag|>[{calls}]"
         out.append(
             f"<|start_header_id|>{role}<|end_header_id|>\n\n{text}<|eot_id|>"
         )
@@ -126,6 +187,12 @@ def render_hermes3(
     for msg in messages:
         role = msg.get("role")
         text = _content_str(msg.get("content"))
+        if role == "assistant":
+            # Assistant tool calls wrap in <tool_call> tags and replace the
+            # content (ref: chat_completions.rs:417-433).
+            calls = _tool_calls_str("hermes3", msg)
+            if calls is not None:
+                text = f"<tool_call>{calls}</tool_call>"
         out.append(f"<|im_start|>{role}\n{text}<|im_end|>\n")
     out.append("<|im_start|>assistant\n")
     return "".join(out)

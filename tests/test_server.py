@@ -176,6 +176,103 @@ class TestChatTemplates:
         out = render_llama3(BODY["messages"], tools)
         assert "get_weather" in out
 
+    def test_llama3_assistant_tool_calls(self):
+        """Assistant tool-call turns render as a <|python_tag|> function-call
+        list and REPLACE the content; tool results render as ipython turns
+        (ref: chat_completions.rs:351-433,597-640)."""
+        msgs = [
+            {"role": "user", "content": "weather in SF?"},
+            {
+                "role": "assistant",
+                "content": None,
+                "tool_calls": [
+                    {
+                        "id": "call_1",
+                        "type": "function",
+                        "function": {
+                            "name": "get_weather",
+                            # OpenAI sends arguments as a JSON string.
+                            "arguments": '{"city": "SF", "days": 2, "metric": true}',
+                        },
+                    }
+                ],
+            },
+            {"role": "tool", "tool_call_id": "call_1", "content": "72F sunny"},
+        ]
+        out = render_llama3(msgs)
+        assert (
+            "<|start_header_id|>assistant<|end_header_id|>\n\n"
+            "<|python_tag|>[get_weather(city='SF', days=2, metric=true)]"
+            "<|eot_id|>" in out
+        )
+        assert (
+            "<|start_header_id|>ipython<|end_header_id|>\n\n72F sunny<|eot_id|>"
+            in out
+        )
+
+    def test_llama3_tool_call_arg_shapes(self):
+        """Arguments as object / unparseable string / missing — the three
+        reference branches (chat_completions.rs:602-640)."""
+        def one(args):
+            return render_llama3(
+                [
+                    {
+                        "role": "assistant",
+                        "tool_calls": [
+                            {
+                                "type": "function",
+                                "function": {"name": "f", "arguments": args},
+                            }
+                        ],
+                    }
+                ]
+            )
+
+        assert "<|python_tag|>[f(a='b')]" in one({"a": "b"})
+        assert "<|python_tag|>[f(not json)]" in one("not json")
+        assert "<|python_tag|>[f()]" in one(None)
+
+    def test_llama3_multiple_tool_calls(self):
+        out = render_llama3(
+            [
+                {
+                    "role": "assistant",
+                    "tool_calls": [
+                        {"type": "function", "function": {"name": "a", "arguments": {"x": 1}}},
+                        {"type": "function", "function": {"name": "b", "arguments": {}}},
+                    ],
+                }
+            ]
+        )
+        assert "<|python_tag|>[a(x=1), b()]" in out
+
+    def test_hermes3_assistant_tool_calls(self):
+        """Hermes3 wraps calls in <tool_call> JSON (space-after-colon quirk)
+        and tool results in <|im_start|>tool turns
+        (ref: chat_completions.rs:417-443,578-587)."""
+        msgs = [
+            {"role": "user", "content": "weather?"},
+            {
+                "role": "assistant",
+                "tool_calls": [
+                    {
+                        "type": "function",
+                        "function": {
+                            "name": "get_weather",
+                            "arguments": '{"city": "SF"}',
+                        },
+                    }
+                ],
+            },
+            {"role": "tool", "content": "72F"},
+        ]
+        out = render_hermes3(msgs)
+        assert (
+            '<tool_call>{"arguments": {"city": "SF"}, "name": "get_weather"}'
+            "</tool_call>" in out
+        )
+        assert "<|im_start|>tool\n72F<|im_end|>\n" in out
+
     def test_beyond_reference_families(self):
         """gemma/mistral/phi3/qwen templates for the extra registered
         families (the reference enum is llama/hermes only)."""
