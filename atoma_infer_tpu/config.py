@@ -264,6 +264,13 @@ class SchedulerConfig:
     # the host (penalties, spec drafts, recompute prefills) drop to the
     # synchronous path automatically (engine/llm_engine.py).
     async_scheduling: bool = False
+    # Number of steps kept in flight when async scheduling is on. Depth 2
+    # additionally hides the device→host token fetch behind a full host
+    # iteration — on remote/tunneled TPU runtimes that round trip is the
+    # single biggest per-step host cost. Cost: stop conditions detected
+    # ``depth`` steps late (that many sampled-and-discarded tokens per
+    # finishing sequence).
+    async_depth: int = 2
 
     def __post_init__(self) -> None:
         # Invariant checks (ref: config.rs:388-406).

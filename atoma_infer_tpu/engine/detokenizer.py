@@ -41,13 +41,14 @@ class Detokenizer:
     def __init__(self, tokenizer):
         self.tokenizer = tokenizer
 
-    def decode_sequence_inplace(self, seq) -> str:
+    def decode_sequence_inplace(self, seq, end=None) -> str:
         """Decode a sequence's newest tokens; appends to ``seq.output_text``
-        and returns just the newly produced text chunk."""
+        and returns just the newly produced text chunk. ``end`` bounds the
+        tokens considered — async scheduling (depth >1) patches a token
+        while newer, still-unpatched placeholders sit past it."""
         output_ids = seq.sequence_data.output_token_ids
-        if seq.read_offset == 0 and seq.prefix_offset == 0 and len(output_ids) > 1:
-            # First call after prefill produced several tokens at once.
-            pass
+        if end is not None:
+            output_ids = output_ids[:end]
         new_text, seq.prefix_offset, seq.read_offset = decode_incrementally(
             self.tokenizer,
             output_ids,

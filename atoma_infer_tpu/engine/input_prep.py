@@ -174,8 +174,12 @@ def prepare_model_input(
         t_spec = S * (1 + max(1, num_spec_tokens))
         if num_tokens <= t_spec < T:
             T = t_spec
+    # Table-width minimum of 8: a smaller floor makes the decode program
+    # recompile mid-serve the moment any context crosses 4 pages (128 tokens
+    # at block 32) — a whole-program compile landing in the serving path for
+    # a few lanes of padding saved.
     max_pages = max((len(t) for t in per_seq_tables), default=1)
-    P = bucket(max(max_pages, 1), minimum=4, maximum=max_pages_per_seq)
+    P = bucket(max(max_pages, 1), minimum=8, maximum=max_pages_per_seq)
 
     tok = np.zeros(T, dtype=np.int32)
     tok[:num_tokens] = token_ids

@@ -93,6 +93,7 @@ class LlmEngine:
         max_model_len: int,
         extra_schedulers=(),
         async_scheduling: bool = False,
+        async_depth: int = 2,
     ):
         self.scheduler = scheduler
         # Pipeline-parallel serving: one scheduler per cohort (all sharing
@@ -122,20 +123,26 @@ class LlmEngine:
         # queue/future completions hop through call_soon_threadsafe.
         self._loop: Optional[asyncio.AbstractEventLoop] = None
         # ---- async scheduling (single-cohort only) --------------------------
-        # Step N+1 is scheduled and dispatched BEFORE step N's sampled tokens
-        # reach the host: the scheduler runs on placeholder bookkeeping (each
-        # sampled sequence gets a placeholder token appended, value patched
-        # when the step completes) and the dispatched program reads those
-        # rows' input tokens from the previous step's device-resident output
-        # (worker device-token feed). Host work — schedule, input prep,
-        # detokenize, stop checks — overlaps device execution instead of
-        # serializing with it. Cost: stop conditions are detected one step
-        # late, so a finishing sequence wastes one sampled-and-discarded
-        # token (the vLLM-v1 async-scheduling trade).
+        # Later steps are scheduled and dispatched BEFORE earlier steps'
+        # sampled tokens reach the host: the scheduler runs on placeholder
+        # bookkeeping (each sampled sequence gets a placeholder token
+        # appended, value patched when its step completes) and each
+        # dispatched program reads continuing rows' input tokens from the
+        # immediately previous step's device-resident output (worker
+        # device-token feed). Host work — schedule, input prep, detokenize,
+        # stop checks — overlaps device execution instead of serializing
+        # with it. ``async_depth`` steps stay in flight: depth 1 is the
+        # vLLM-v1 trade (stop conditions one step late); depth 2 additionally
+        # hides the device→host fetch round-trip behind a full host
+        # iteration, which is what makes remote/tunneled TPU runtimes reach
+        # device-bound throughput. Cost: a finishing sequence wastes
+        # ``depth`` sampled-and-discarded tokens.
         self._async_scheduling = async_scheduling and not extra_schedulers
-        self._async_pending = None   # (metadata, PendingStep) in flight
-        # seq_id → (group, seq, sampled-row in the in-flight step)
-        self._placeholder_rows: Dict[int, tuple] = {}
+        self._async_depth = max(1, async_depth)
+        # In-flight steps, oldest first. Each entry:
+        # (metadata, PendingStep, rows) with rows mapping
+        # seq_id → (group, seq, sampled-row, output-index of placeholder).
+        self._async_queue: List[tuple] = []
 
     # -------------------------------------------------------------- admission
     def add_request(
@@ -186,11 +193,12 @@ class LlmEngine:
                 return
             group = self._groups.get(request_id)
             if group is not None and any(
-                sid in self._placeholder_rows for sid in group.sequences
+                any(sid in rows for _, _, rows in self._async_queue)
+                for sid in group.sequences
             ):
-                # Resolve the in-flight async step first so the aborted
-                # response carries real tokens, not an unpatched placeholder.
-                self._complete_async()
+                # Resolve the in-flight async steps first so the aborted
+                # response carries real tokens, not unpatched placeholders.
+                self._complete_async_all()
                 self.scheduler.remove_finished_sequences()
             for scheduler in self.schedulers:
                 group = scheduler.abort_sequence_group(request_id)
@@ -228,7 +236,7 @@ class LlmEngine:
     def _has_unfinished(self) -> bool:
         return (
             bool(self._pending)
-            or self._async_pending is not None
+            or bool(self._async_queue)
             or any(s.has_unfinished_seqs() for s in self.schedulers)
         )
 
@@ -256,8 +264,8 @@ class LlmEngine:
             self._finish_group(group)
         finished: List[GenerateRequestOutput] = []
         if not metadata and outputs.is_empty():
-            if self._async_pending is not None:
-                finished += self._complete_async()
+            if self._async_queue:
+                finished += self._complete_async_oldest()
                 self.scheduler.remove_finished_sequences()
             return finished
 
@@ -270,32 +278,54 @@ class LlmEngine:
         )
 
         if self._async_scheduling and self._async_eligible(metadata):
-            # Async stepping: dispatch this step BEFORE fetching the
-            # in-flight one — rows continuing a just-sampled sequence read
-            # their input token on device (worker feed), so the device never
-            # waits for the host round trip. Then patch the in-flight step's
-            # placeholders (detokenize/stop checks overlap this dispatch's
-            # device execution), and finally placeholder-book this step.
+            # Async stepping: dispatch this step BEFORE fetching in-flight
+            # ones — rows continuing a just-sampled sequence read their
+            # input token on device (worker feed), so the device never
+            # waits for a host round trip. Then, with up to ``async_depth``
+            # steps in flight, patch the OLDEST step's placeholders
+            # (detokenize/stop checks overlap the newer steps' device
+            # execution).
             feed = None
-            if self._async_pending is not None:
+            if self._async_queue:
+                _, newest, rows = self._async_queue[-1]
                 feed = (
-                    self._async_pending[1].tokens_device,
-                    {
-                        sid: row
-                        for sid, (_, _, row) in self._placeholder_rows.items()
-                    },
+                    newest.tokens_device,
+                    {sid: row for sid, (_, _, row, _) in rows.items()},
                 )
+            elif all(not m.is_prompt for m in metadata):
+                # Null feed: keeps a post-idle decode step on the same
+                # compiled program as steady async decode (worker.dispatch).
+                feed = (None, {})
             pending = self.worker.dispatch(request, feed=feed)
-            finished += self._complete_async()
             if pending is not None:
-                self._apply_placeholders(metadata)
-                self._async_pending = (metadata, pending)
+                rows = self._book_placeholders(metadata)
+                self._async_queue.append((metadata, pending, rows))
+            while len(self._async_queue) > self._async_depth:
+                finished += self._complete_async_oldest()
         else:
-            # Synchronous path (penalties, spec decode, or a prefill that
-            # needs an unpatched token value): resolve the in-flight step
-            # first so input prep reads real token ids, then execute.
-            finished += self._complete_async()
-            group_outputs = self.worker.execute_model(request)
+            # Synchronous path (penalties, spec decode, or a step whose
+            # input tokens sit unpatched in an older in-flight step):
+            # resolve the in-flight steps first so input prep reads real
+            # token ids, then execute. Pure-decode fallbacks ride the
+            # null-feed so they reuse the steady async decode program
+            # instead of compiling a no-feed variant.
+            finished += self._complete_async_all()
+            feed = None
+            if (
+                self._async_scheduling
+                and all(not m.is_prompt for m in metadata)
+                and self._async_eligible(metadata)  # queue now empty:
+                # only penalties/spec force False here, and those need
+                # their own program variants anyway
+            ):
+                feed = (None, {})
+            if feed is not None:
+                pending = self.worker.dispatch(request, feed=feed)
+                group_outputs = (
+                    pending.complete() if pending is not None else {}
+                )
+            else:
+                group_outputs = self.worker.execute_model(request)
             finished += self._process_outputs(metadata, group_outputs)
         self.scheduler.remove_finished_sequences()
         metrics.RUNNING_SEQS.set(len(self.scheduler.running))
@@ -311,23 +341,38 @@ class LlmEngine:
         built from real tokens, and a (recompute-)prefill's input ids must be
         real. Pure decode — the steady state where host overlap matters —
         always qualifies."""
+        older: set = set()
+        for _, _, rows in self._async_queue[:-1]:
+            older.update(rows)
+        newest = self._async_queue[-1][2] if self._async_queue else {}
         for meta in metadata:
             p = meta.next_token_chooser_params
             if p.repetition_penalty != 1.0 or p.frequency_penalty != 0.0:
                 return False
             if getattr(meta, "spec_token_ids", None):
                 return False
-            if meta.is_prompt and self._placeholder_rows:
+            if meta.is_prompt and self._async_queue:
                 for seq_id in meta.seq_data:
-                    if seq_id in self._placeholder_rows:
+                    if seq_id in older or seq_id in newest:
+                        return False
+            elif older:
+                # A decode row reads its input token from the device feed
+                # only when its last sample came from the NEWEST in-flight
+                # step; a token still unpatched in an older in-flight step
+                # would be read from the host as a placeholder (depth >1 —
+                # e.g. the first decode after a split prefill wave).
+                for seq_id in meta.seq_data:
+                    if seq_id in older and seq_id not in newest:
                         return False
         return True
 
-    def _apply_placeholders(self, metadata) -> None:
+    def _book_placeholders(self, metadata) -> Dict[int, tuple]:
         """Advance bookkeeping for a dispatched-but-unfetched step: computed
         token counts move forward and every sampled sequence appends a
         placeholder token (so the next schedule() sees correct lengths and
-        block demand). Values are patched in :meth:`_complete_async`."""
+        block demand). Returns seq_id → (group, seq, row, output-index);
+        values are patched when the step completes."""
+        rows: Dict[int, tuple] = {}
         row = 0
         for meta in metadata:
             group = self._groups.get(meta.request_id)
@@ -342,17 +387,23 @@ class LlmEngine:
                 if seq is None or seq.is_finished():
                     continue
                 seq.append_token_id(self._PLACEHOLDER, 0.0)
-                self._placeholder_rows[seq_id] = (group, seq, r)
+                out_idx = len(seq.sequence_data.output_token_ids) - 1
+                rows[seq_id] = (group, seq, r, out_idx)
+        return rows
 
-    def _complete_async(self) -> List[GenerateRequestOutput]:
-        """Fetch the in-flight step and patch its placeholder tokens with the
-        real values, then run the usual detokenize/stop/stream path on them."""
-        if self._async_pending is None:
+    def _complete_async_all(self) -> List[GenerateRequestOutput]:
+        finished: List[GenerateRequestOutput] = []
+        while self._async_queue:
+            finished += self._complete_async_oldest()
+        return finished
+
+    def _complete_async_oldest(self) -> List[GenerateRequestOutput]:
+        """Fetch the oldest in-flight step and patch its placeholder tokens
+        with the real values, then run the usual detokenize/stop/stream path
+        on them."""
+        if not self._async_queue:
             return []
-        metadata, pending = self._async_pending
-        self._async_pending = None
-        placeholders = self._placeholder_rows
-        self._placeholder_rows = {}
+        metadata, pending, placeholders = self._async_queue.pop(0)
         group_outputs = pending.complete()
         _span = span("engine.patch_outputs")
         _span.__enter__()
@@ -374,32 +425,45 @@ class LlmEngine:
                 entry = placeholders.get(seq_id)
                 if entry is None:
                     continue  # finished/aborted after dispatch: discard
-                _, seq, _ = entry
+                _, seq, _, out_idx = entry
                 if seq.is_finished():
                     continue
-                self._patch_sequence(group, seq, seq_out)
+                self._patch_sequence(group, seq, seq_out, out_idx)
             if group.is_finished():
                 finished.append(self._finish_group(group))
         _span.__exit__(None, None, None)
         return finished
 
-    def _patch_sequence(self, group: SequenceGroup, seq: Sequence, seq_out):
-        """Replace the trailing placeholder with the sampled token, then
-        detokenize + stop-check + stream it (the async analog of
-        :meth:`_update_sequence` for exactly one token)."""
+    def _patch_sequence(
+        self, group: SequenceGroup, seq: Sequence, seq_out, out_idx: int
+    ):
+        """Replace the placeholder at ``out_idx`` with the sampled token,
+        then detokenize + stop-check + stream it (the async analog of
+        :meth:`_update_sequence` for exactly one token). With async depth >1
+        the sequence may carry newer, still-unpatched placeholders past
+        ``out_idx``; detokenization and length checks stop at the patched
+        token, and if the sequence finishes here the newer placeholders are
+        discarded."""
         data = seq.sequence_data
-        idx = len(data.output_token_ids) - 1
-        data.output_token_ids[idx] = seq_out.output_token
+        data.output_token_ids[out_idx] = seq_out.output_token
         data.cumulative_logprob += seq_out.logprob
-        lp = seq.output_logprobs[idx]
+        lp = seq.output_logprobs[out_idx]
         lp.token_id = seq_out.output_token
         lp.logprob = seq_out.logprob
         lp.top_tokens = seq_out.top_tokens
         metrics.GENERATED_TOKENS.inc()
         new_text, finish_reason = self._postprocess_token(
-            group, seq, seq_out.output_token
+            group, seq, seq_out.output_token,
+            end=out_idx + 1,
         )
         if seq.is_finished():
+            # Trailing placeholders from newer in-flight steps are bogus
+            # beyond the finish point: truncate, and drop this sequence from
+            # the newer steps' patch maps so their tokens are discarded.
+            del data.output_token_ids[out_idx + 1:]
+            del seq.output_logprobs[out_idx + 1:]
+            for _, _, rows in self._async_queue:
+                rows.pop(seq.seq_id, None)
             self.scheduler.free_seq(seq)
         queue = self._stream_queues.get(group.request_id)
         if queue is not None:
@@ -560,13 +624,19 @@ class LlmEngine:
             )
 
     def _postprocess_token(
-        self, group: SequenceGroup, seq: Sequence, token_id: int
+        self,
+        group: SequenceGroup,
+        seq: Sequence,
+        token_id: int,
+        end: Optional[int] = None,
     ) -> tuple:
         """Detokenize the sequence's newest token and apply the stop checks
         (ref: llm_engine.rs:367-521); returns ``(new_text, finish_reason)``
         and sets the sequence's finished status/stop_reason. The token must
-        already be appended (sync path) or patched in place (async path)."""
-        new_text = self.detokenizer.decode_sequence_inplace(seq)
+        already be appended (sync path) or patched in place (async path);
+        ``end`` bounds the output tokens considered — with async depth >1
+        there may be newer unpatched placeholders past it."""
+        new_text = self.detokenizer.decode_sequence_inplace(seq, end=end)
         stopping = group.stopping_criteria
         finish_reason: Optional[str] = None
 
@@ -588,6 +658,8 @@ class LlmEngine:
                 break
 
         if finish_reason is None:
+            output_len = end if end is not None else seq.get_output_len()
+            total_len = seq.get_len() - (seq.get_output_len() - output_len)
             if (
                 not stopping.ignore_eos_token
                 and token_id in self.eos_token_ids
@@ -595,10 +667,10 @@ class LlmEngine:
                 seq.status = SequenceStatus.FINISHED_STOPPED
                 seq.stop_reason = token_id
                 finish_reason = "eos_token"
-            elif seq.get_output_len() >= stopping.max_new_tokens:
+            elif output_len >= stopping.max_new_tokens:
                 seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
                 finish_reason = "length"
-            elif seq.get_len() >= self.max_model_len:
+            elif total_len >= self.max_model_len:
                 seq.status = SequenceStatus.FINISHED_LENGTH_CAPPED
                 finish_reason = "model_length"
         return new_text, finish_reason

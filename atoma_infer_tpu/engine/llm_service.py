@@ -244,6 +244,7 @@ class LlmService:
             cfg.eos_token_ids,
             config.scheduler.max_model_len,
             async_scheduling=config.scheduler.async_scheduling,
+            async_depth=config.scheduler.async_depth,
         )
         return cls(
             config,

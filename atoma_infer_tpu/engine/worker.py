@@ -37,32 +37,58 @@ from ..utils.tracing import instrument, span
 logger = logging.getLogger(__name__)
 
 
+@jax.jit
+def _pack_outputs(tokens, logprobs):
+    """Fuse the two per-step output arrays into ONE int32 buffer so the host
+    pays a single device→host transfer per step (remote-TPU round trips are
+    the dominant per-step cost — tools/engine_step_probe.py)."""
+    return jnp.concatenate(
+        [
+            tokens.reshape(-1),
+            jax.lax.bitcast_convert_type(
+                logprobs.astype(jnp.float32), jnp.int32
+            ).reshape(-1),
+        ]
+    )
+
+
 class PendingStep:
     """A dispatched-but-unfetched model step.
 
     Holds device arrays (JAX dispatch is async) plus the metadata needed to
-    package outputs; ``complete()`` blocks on the single small host transfer
-    and builds the per-group outputs. The pipelined engine keeps one of
-    these per cohort in flight so pipeline stages overlap across cohorts.
+    package outputs. The sampled tokens + logprobs are packed into one int32
+    device array whose device→host copy is enqueued immediately
+    (``copy_to_host_async``) so the tunnel round-trip overlaps the next
+    step's host work; ``complete()`` blocks on the single small transfer and
+    builds the per-group outputs. The pipelined engine keeps one of these
+    per cohort in flight so pipeline stages overlap across cohorts.
     """
 
     def __init__(
         self,
         metadata,
         tokens,
-        logprobs,
+        packed,
         top_out,
         t0: float,
         spec_draft=None,
         spec_k=None,
     ):
         self._metadata = metadata
-        self._tokens = tokens
-        self._logprobs = logprobs
+        self._tokens = tokens          # device array, kept for the feed path
+        self._shape = tokens.shape
+        self._packed = packed          # [2·rows] int32 (tokens ++ logprob bits)
         self._top_out = top_out
         self._t0 = t0
         self._spec_draft = spec_draft  # [S, K] host drafts (-1 pad) | None
         self._spec_k = spec_k          # [S] draft counts | None
+        try:
+            packed.copy_to_host_async()
+            if top_out is not None:
+                top_out[0].copy_to_host_async()
+                top_out[1].copy_to_host_async()
+        except AttributeError:
+            pass
 
     @property
     def tokens_device(self):
@@ -72,13 +98,20 @@ class PendingStep:
 
     def complete(self) -> Dict[str, SequenceGroupOutput]:
         with span("worker.fetch"):
-            tokens_np = np.asarray(self._tokens)
-            logprobs_np = np.asarray(self._logprobs)
+            packed_np = np.asarray(self._packed)
+            top_np = None
+            if self._top_out is not None:
+                top_np = (
+                    np.asarray(self._top_out[0]),
+                    np.asarray(self._top_out[1]),
+                )
+        n = packed_np.shape[0] // 2
+        tokens_np = packed_np[:n].reshape(self._shape)
+        logprobs_np = packed_np[n:].view(np.float32).reshape(self._shape)
         spec = self._spec_k is not None  # [S, K+1] layout this step
         top_ids_np = top_lps_np = None
-        if self._top_out is not None:
-            top_ids_np = np.asarray(self._top_out[0])
-            top_lps_np = np.asarray(self._top_out[1])
+        if top_np is not None:
+            top_ids_np, top_lps_np = top_np
             if spec:
                 # Verification layout [S, K+1, n]: row 0 is the real
                 # last-token distribution.
@@ -366,23 +399,40 @@ class ModelWorker:
             prev_map = np.full(
                 model_input.token_ids.shape[0], -1, dtype=np.int32
             )
+            n_overrides = 0
             for i, seq_id in enumerate(model_input.seq_ids):
                 row = rows_by_seq.get(seq_id)
                 # Decode rows only (one input token — the placeholder).
                 if row is not None and qsl[i + 1] - qsl[i] == 1:
                     prev_map[qsl[i]] = row
-            prev = (prev_tokens, prev_map)
+                    n_overrides += 1
+            if n_overrides == 0 and model_input.num_prefills > 0:
+                # A prefill wave with nothing to override compiles the same
+                # program as a no-feed prefill — don't fork a feed=True
+                # variant just to apply an empty map.
+                prev = None
+            else:
+                if prev_tokens is None:
+                    # Null feed (async engine's program-shape keeper): the
+                    # map is all −1 so the values are never read — this
+                    # keeps a sync-fallback or post-idle decode step on the
+                    # SAME compiled program as steady async decode.
+                    prev_tokens = jnp.zeros(
+                        (model_input.seq_lens.shape[0],), jnp.int32
+                    )
+                prev = (prev_tokens, prev_map)
 
         with span("worker.invoke"):
             tokens, logprobs, top_out = self._invoke(
                 model_input, sampling_arrays, sample_steps, sampling,
                 prev=prev,
             )
+            packed = _pack_outputs(tokens, logprobs)
         self._step_counter += 1
         return PendingStep(
             request.sequence_groups_metadata,
             tokens,
-            logprobs,
+            packed,
             top_out,
             t0,
             spec_draft=model_input.spec_draft,

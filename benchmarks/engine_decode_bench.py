@@ -37,6 +37,7 @@ def main() -> None:
     parser.add_argument("--max-new", type=int, default=97)
     parser.add_argument("--block-size", type=int, default=32)
     parser.add_argument("--async-scheduling", action="store_true")
+    parser.add_argument("--async-depth", type=int, default=2)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -108,6 +109,7 @@ def main() -> None:
             max_num_sequences=S,
             max_model_len=total_len + 1,
             async_scheduling=args.async_scheduling,
+            async_depth=args.async_depth,
         ),
         validation=ValidationConfig(
             max_input_tokens=P + 1, max_total_tokens=total_len + 1
@@ -117,11 +119,17 @@ def main() -> None:
         config, model=model, params=params,
         tokenizer=ByteTokenizer(cfg.vocab_size),
     )
+    # Admitting S requests takes ~60-100 ms; the default 100 ms idle
+    # batching delay can expire mid-submission, splitting the prefill wave
+    # in two (two prefill program shapes + a sync-fallback decode step in
+    # the timed window). A longer delay makes the wave deterministic.
+    from atoma_infer_tpu.engine import llm_engine as _le
+
+    _le.IDLE_BATCHING_DELAY_S = 0.5
 
     rng = np.random.default_rng(0)
 
-    async def go():
-        task = asyncio.create_task(service.engine.run())
+    async def wave(tag: str, max_new: int):
         futs = []
         for i in range(S):
             # Distinct random prompts (identical computations can be served
@@ -132,15 +140,22 @@ def main() -> None:
             futs.append(
                 await service.handle_request(
                     GenerateRequest(
-                        request_id=f"r{i}",
+                        request_id=f"{tag}{i}",
                         inputs=body,
-                        parameters=GenerateParameters(max_new_tokens=N),
+                        parameters=GenerateParameters(max_new_tokens=max_new),
                     )
                 )
             )
-        results = await asyncio.wait_for(
-            asyncio.gather(*futs), timeout=3600
-        )
+        return await asyncio.wait_for(asyncio.gather(*futs), timeout=3600)
+
+    async def go():
+        task = asyncio.create_task(service.engine.run())
+        # Warmup wave at the SAME bucket shapes: compiles the prefill bucket
+        # and the decode bucket (plus the async feed variant) OUTSIDE the
+        # timed window — otherwise the decode-program compile lands between
+        # first_token_time and finished_time and inflates ms/step.
+        await wave("w", 4)
+        results = await wave("r", N)
         service.stop()
         task.cancel()
         return results
@@ -154,6 +169,25 @@ def main() -> None:
 
         for name, row in sorted(tracing.summary().items()):
             print(f"# span {name}: {row}", file=sys.stderr)
+        # Steady-state view: median/p90 resist the first-call compile and
+        # executable-load outliers that dominate the means above.
+        by_name = {}
+        for rec in tracing.recent_spans():
+            by_name.setdefault(rec.name, []).append(rec.duration_ms)
+        for name, ds in sorted(by_name.items()):
+            ds.sort()
+            med = ds[len(ds) // 2]
+            p90 = ds[int(len(ds) * 0.9)]
+            print(
+                f"# steady {name}: median {med:.2f} ms, p90 {p90:.2f} ms"
+                f" (n={len(ds)})",
+                file=sys.stderr,
+            )
+        steps = [
+            round(r.duration_ms, 1)
+            for r in tracing.recent_spans("engine.step")
+        ]
+        print(f"# engine.step series: {steps}", file=sys.stderr)
 
     tokens = sum(len(r.outputs[0].token_ids) for r in results)
     assert tokens == S * N, (tokens, S * N)

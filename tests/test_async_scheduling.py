@@ -125,6 +125,42 @@ class TestAsyncScheduling:
         for s, a in zip(sync, asy):
             assert a.outputs[0].token_ids == s.outputs[0].token_ids
 
+    def test_depth2_split_prefill_wave_identical(self):
+        """Depth-2 hazard: after a prefill wave splits across two steps, the
+        first wave's decode rows read a token sampled by an in-flight step
+        OLDER than the feed source — the engine must drop to the sync path
+        for that step (llm_engine._async_eligible) to stay token-identical."""
+        reqs = greedy_requests(n=12, max_new=10)
+        overrides = dict(max_num_batched_tokens=256, max_model_len=256)
+        sync = run_batch(False, reqs, **overrides)
+        asy = run_batch(True, reqs, async_depth=2, **overrides)
+        for s, a in zip(sync, asy):
+            assert a.outputs[0].token_ids == s.outputs[0].token_ids
+            assert a.outputs[0].logprobs == pytest.approx(
+                s.outputs[0].logprobs, abs=1e-5
+            )
+
+    def test_depth2_staggered_finish_truncation(self):
+        """Sequences finishing while newer steps are in flight must not leak
+        trailing placeholder tokens into their outputs (depth-2 cleanup in
+        _patch_sequence)."""
+        reqs = [
+            GenerateRequest(
+                request_id=f"stag-{i}",
+                inputs=f"staggered prompt {i}",
+                parameters=GenerateParameters(max_new_tokens=3 + 2 * i),
+            )
+            for i in range(6)
+        ]
+        sync = run_batch(False, reqs)
+        asy = run_batch(True, reqs, async_depth=2)
+        for s, a in zip(sync, asy):
+            want = len(s.outputs[0].token_ids)
+            assert len(a.outputs[0].token_ids) == want
+            assert len(a.outputs[0].logprobs) == want
+            assert a.outputs[0].token_ids == s.outputs[0].token_ids
+            assert a.outputs[0].output_text == s.outputs[0].output_text
+
     def test_streaming_chunks_match_final(self):
         async def scenario():
             service = make_service(True)
