@@ -222,6 +222,10 @@ class Scheduler:
         self.prev_time = 0.0
         self.prev_prompt = False
         self.last_prompt_latency = 0.0
+        # Steady-decode fast path: cached (key, metadata, seqs, scheduled)
+        # reused while the running set is unchanged (see
+        # _schedule_decode_fast).
+        self._fast_state = None
 
     # ---------------------------------------------------------------- queue ops
     def add_sequence_group(self, seq_group: SequenceGroup) -> None:
@@ -267,6 +271,10 @@ class Scheduler:
     ) -> Tuple[List[SequenceGroupMetadata], SchedulerOutputs]:
         """Run one scheduling pass and build the worker metadata
         (ref: scheduler.rs:1455-1537)."""
+        fast = self._schedule_decode_fast()
+        if fast is not None:
+            return fast
+        self._fast_state = None
         outputs = self._schedule()
         now = time.monotonic()
 
@@ -330,6 +338,103 @@ class Scheduler:
                     spec_token_ids=spec_token_ids,
                 )
             )
+        return metadata_list, outputs
+
+    def _schedule_decode_fast(
+        self,
+    ) -> Optional[Tuple[List[SequenceGroupMetadata], SchedulerOutputs]]:
+        """Steady-decode fast path: every step of a long decode reschedules
+        the SAME groups for one token each — the full pass (priority sort,
+        budget accounting, per-group token counting, metadata rebuild) is
+        ~6 ms at 256 sequences, dominating the engine's host budget. While
+        the running set is unchanged and nothing is waiting/swapped, reuse
+        the cached metadata: per step only the per-seq ``append_slots`` (and
+        a block-table refresh when a sequence crosses a block boundary or a
+        copy-on-write fires) runs. Any other condition falls back to the
+        full scheduling pass."""
+        if (
+            self.waiting
+            or self.swapped
+            or not self.running
+            or self.spec_proposer is not None
+            or self.block_manager.enable_prefix_caching
+        ):
+            return None
+        key = tuple(
+            (g.request_id, g.num_seqs(SequenceStatus.RUNNING))
+            for g in self.running
+        )
+        state = self._fast_state
+        if state is None or state[0] != key:
+            if any(g.is_prefill() for g in self.running):
+                return None
+            metadata_list = []
+            per_group_seqs = []
+            scheduled = []
+            for g in self.running:
+                seqs = g.get_seqs(SequenceStatus.RUNNING)
+                metadata_list.append(
+                    SequenceGroupMetadata(
+                        request_id=g.request_id,
+                        is_prompt=False,
+                        seq_data={
+                            s.seq_id: s.sequence_data for s in seqs
+                        },
+                        block_tables={
+                            s.seq_id: self.block_manager.get_block_table_ids(
+                                s.seq_id
+                            )
+                            for s in seqs
+                        },
+                        next_token_chooser_params=g.next_token_chooser_params,
+                        stopping_criteria=g.stopping_criteria,
+                        do_sample=True,
+                        token_chunk_size=1,
+                        computed_block_nums=None,
+                        logprobs=g.logprobs,
+                        top_n_tokens=getattr(g, "top_n_tokens", 0),
+                        spec_token_ids=None,
+                    )
+                )
+                per_group_seqs.append(seqs)
+                scheduled.append(ScheduledSequenceGroup(g, 1))
+            state = (key, metadata_list, per_group_seqs, scheduled)
+            self._fast_state = state
+        _, metadata_list, per_group_seqs, scheduled = state
+
+        # Worst-case block demand this step; preemption needs the full pass.
+        bs = self.cache_config.block_size
+        needed = 0
+        for seqs in per_group_seqs:
+            for s in seqs:
+                if (s.get_len() - 1) % bs == 0:
+                    needed += 1
+        if needed > self.block_manager.get_num_free_device_blocks():
+            return None
+
+        blocks_to_copy: List[Tuple[int, int]] = []
+        num_tokens = 0
+        for md, seqs in zip(metadata_list, per_group_seqs):
+            for s in seqs:
+                cows = self.block_manager.append_slots(s)
+                if cows:
+                    blocks_to_copy.extend(cows)
+                if cows or (s.get_len() - 1) % bs == 0:
+                    md.block_tables[s.seq_id] = (
+                        self.block_manager.get_block_table_ids(s.seq_id)
+                    )
+                num_tokens += 1
+        outputs = SchedulerOutputs(
+            scheduled_seq_groups=scheduled,
+            num_prefill_groups=0,
+            num_batched_tokens=num_tokens,
+            blocks_to_swap_in=[],
+            blocks_to_swap_out=[],
+            blocks_to_copy=blocks_to_copy,
+            ignored_seq_groups=[],
+            preempted=0,
+            running_queue_size=len(self.running),
+        )
         return metadata_list, outputs
 
     def _schedule(self) -> SchedulerOutputs:

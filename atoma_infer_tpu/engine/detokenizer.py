@@ -58,3 +58,30 @@ class Detokenizer:
         if new_text:
             seq.output_text += new_text
         return new_text
+
+    def finalize_sequence(self, seq, end=None) -> str:
+        """Flush text the '�' guard withheld once a sequence finishes: a
+        trailing incomplete UTF-8 / byte-fallback fragment will never
+        complete, so emit it (with replacement chars) exactly as a full
+        re-decode of the token list would. Returns the flushed text."""
+        output_ids = seq.sequence_data.output_token_ids
+        if end is not None:
+            output_ids = output_ids[:end]
+        if seq.read_offset >= len(output_ids):
+            return ""
+        prefix_text = self.tokenizer.decode(
+            output_ids[seq.prefix_offset : seq.read_offset],
+            skip_special_tokens=True,
+        )
+        full_text = self.tokenizer.decode(
+            output_ids[seq.prefix_offset :], skip_special_tokens=True
+        )
+        tail = (
+            full_text[len(prefix_text):]
+            if len(full_text) > len(prefix_text)
+            else ""
+        )
+        seq.prefix_offset = seq.read_offset = len(output_ids)
+        if tail:
+            seq.output_text += tail
+        return tail

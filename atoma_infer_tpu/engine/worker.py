@@ -198,9 +198,19 @@ class ModelWorker:
             -(-scheduler_config.max_model_len // cache_config.block_size),
         )
         self._step_counter = 0
+        # (signature, SamplingTensors, device arrays, zero-steps device
+        # array) — steady decode reschedules the same batch every step, so
+        # the per-sequence sampling parameters (and their device transfer)
+        # are reused until the batch composition changes. Penalty batches
+        # never cache (recent_tokens changes every step).
+        self._sampling_cache = None
         self._step_fn = jax.jit(
             self._step,
             static_argnames=(
+                "T",
+                "S",
+                "P",
+                "decode_only",
                 "needs_sampling",
                 "needs_penalties",
                 "needs_typical",
@@ -217,15 +227,16 @@ class ModelWorker:
         params,
         kv_cache,
         kv_scales,              # None | L × [pages, bs, 128] bf16 scale pages
-        token_ids,
-        positions,
-        attn_meta,
-        selected_token_indices,
-        sampling,               # dict of device arrays
-        step,
+        packed,                 # [N] int32 — ALL per-step metadata in ONE
+                                # host→device transfer (layout below)
+        sampling,               # dict of device arrays (cached across steps)
         prev_tokens=None,       # [S_prev] device tokens of the prior step
-        prev_map=None,          # [T] int32: row in prev_tokens, −1 = host id
+        spec_rows=None,         # [S, K+1] verify rows (spec steps only)
         *,
+        T: int,                 # token-axis bucket
+        S: int,                 # sequence-axis bucket
+        P: int,                 # block-table width bucket
+        decode_only: bool,
         needs_sampling: bool,
         needs_penalties: bool,
         needs_typical: bool,
@@ -233,6 +244,39 @@ class ModelWorker:
         spec: bool = False,     # static: speculative-verification layout
         feed: bool = False,     # static: async scheduling's device-token feed
     ):
+        from ..ops.attention import AttentionMetadata
+
+        # Unpack the fused metadata buffer (static offsets per bucket —
+        # XLA fuses the slices away; the point is ONE transfer per step
+        # instead of ~10 small ones, each paying per-transfer overhead on
+        # remote TPU runtimes).
+        off = 0
+
+        def take(n):
+            nonlocal off
+            part = packed[off : off + n]
+            off += n
+            return part
+
+        token_ids = take(T)
+        positions = take(T)
+        slot_mapping = take(T)
+        block_tables = take(S * P).reshape(S, P)
+        seq_lens = take(S)
+        query_start_loc = take(S + 1)
+        step = take(S)
+        num_seqs = take(1)[0]
+        selected_token_indices = spec_rows if spec else take(S)
+        prev_map = take(T) if feed else None
+        attn_meta = AttentionMetadata(
+            slot_mapping=slot_mapping,
+            block_tables=block_tables,
+            seq_lens=seq_lens,
+            query_start_loc=query_start_loc,
+            num_seqs=num_seqs,
+            block_size=self.cache_config.block_size,
+            decode_only=decode_only,
+        )
         if feed:
             # Async scheduling (engine step N+1 dispatched before step N's
             # tokens reach the host): rows continuing a sequence sampled last
@@ -346,51 +390,89 @@ class ModelWorker:
         import dataclasses as _dc
 
         with span("worker.sampling_build"):
-            params_list = []
-            recent = []
-            top_n_list = []
-            sample_steps = np.zeros(S, dtype=np.int32)
-            i = 0
-            for meta in request.sequence_groups_metadata:
-                for idx, (seq_id, seq_data) in enumerate(
-                    meta.seq_data.items()
-                ):
-                    p = meta.next_token_chooser_params
-                    if idx > 0:
-                        # Distinct sampling streams per best_of candidate.
-                        p = _dc.replace(p, seed=p.seed + idx)
-                    params_list.append(p)
-                    recent.append(
-                        seq_data.get_token_ids()[-PENALTY_WINDOW:]
+            # Batch signature: same groups, same seq counts, same flags at
+            # the same bucket → identical sampling tensors (parameters are
+            # fixed at admission; best_of candidate seeds derive from the
+            # group params deterministically).
+            sig = (
+                S,
+                tuple(
+                    (
+                        meta.request_id,
+                        len(meta.seq_data),
+                        meta.top_n_tokens,
+                        meta.do_sample,
                     )
-                    top_n_list.append(meta.top_n_tokens)
-                    # PRNG fold value: the sequence's own position, so
-                    # sampling replays identically across preemption/swap
-                    # reschedules.
-                    sample_steps[i] = seq_data.get_output_len()
-                    i += 1
-            sampling = SamplingTensors.build(
-                params_list, recent, S, top_n_list
+                    for meta in request.sequence_groups_metadata
+                ),
             )
-
-        with span("worker.transfers"):
-            sampling_arrays = {
-                "temperature": jnp.asarray(sampling.temperature),
-                "top_k": jnp.asarray(sampling.top_k),
-                "top_p": jnp.asarray(sampling.top_p),
-                "typical_p": jnp.asarray(sampling.typical_p),
-                "do_sample": jnp.asarray(
-                    sampling.do_sample & model_input.sample_mask
-                ),
-                "seeds": jnp.asarray(sampling.seeds),
-                "repetition_penalty": jnp.asarray(
-                    sampling.repetition_penalty
-                ),
-                "frequency_penalty": jnp.asarray(
-                    sampling.frequency_penalty
-                ),
-                "recent_tokens": jnp.asarray(sampling.recent_tokens),
-            }
+            cached = self._sampling_cache
+            if (
+                cached is not None
+                and cached[0] == sig
+                and not cached[1].needs_penalties
+            ):
+                sampling, sampling_arrays, zero_steps = cached[1:]
+                if sampling.needs_sampling:
+                    sample_steps = np.zeros(S, dtype=np.int32)
+                    i = 0
+                    for meta in request.sequence_groups_metadata:
+                        for seq_data in meta.seq_data.values():
+                            sample_steps[i] = seq_data.get_output_len()
+                            i += 1
+                else:
+                    sample_steps = zero_steps  # greedy: fold value unused
+            else:
+                params_list = []
+                recent = []
+                top_n_list = []
+                sample_steps = np.zeros(S, dtype=np.int32)
+                i = 0
+                for meta in request.sequence_groups_metadata:
+                    for idx, (seq_id, seq_data) in enumerate(
+                        meta.seq_data.items()
+                    ):
+                        p = meta.next_token_chooser_params
+                        if idx > 0:
+                            # Distinct sampling streams per best_of candidate.
+                            p = _dc.replace(p, seed=p.seed + idx)
+                        params_list.append(p)
+                        recent.append(
+                            seq_data.get_token_ids()[-PENALTY_WINDOW:]
+                        )
+                        top_n_list.append(meta.top_n_tokens)
+                        # PRNG fold value: the sequence's own position, so
+                        # sampling replays identically across preemption/swap
+                        # reschedules.
+                        sample_steps[i] = seq_data.get_output_len()
+                        i += 1
+                sampling = SamplingTensors.build(
+                    params_list, recent, S, top_n_list
+                )
+                with span("worker.transfers"):
+                    sampling_arrays = {
+                        "temperature": jnp.asarray(sampling.temperature),
+                        "top_k": jnp.asarray(sampling.top_k),
+                        "top_p": jnp.asarray(sampling.top_p),
+                        "typical_p": jnp.asarray(sampling.typical_p),
+                        "do_sample": jnp.asarray(
+                            sampling.do_sample & model_input.sample_mask
+                        ),
+                        "seeds": jnp.asarray(sampling.seeds),
+                        "repetition_penalty": jnp.asarray(
+                            sampling.repetition_penalty
+                        ),
+                        "frequency_penalty": jnp.asarray(
+                            sampling.frequency_penalty
+                        ),
+                        "recent_tokens": jnp.asarray(sampling.recent_tokens),
+                    }
+                self._sampling_cache = (
+                    sig,
+                    sampling,
+                    sampling_arrays,
+                    np.zeros(S, dtype=np.int32),
+                )
 
         prev = None
         if feed is not None:
@@ -446,36 +528,45 @@ class ModelWorker:
         the (device-array) sampled tokens/logprobs/top-n. Overridden by the
         pipelined worker to chain per-stage programs."""
         spec = model_input.spec_rows is not None
-        selected = (
-            model_input.spec_rows if spec
-            else model_input.selected_token_indices
-        )
         feed = prev is not None
-        if feed:
-            prev_tokens, prev_map = prev
-            prev_args = (prev_tokens, jnp.asarray(prev_map))
-        else:
-            prev_args = (None, None)
+        T = model_input.token_ids.shape[0]
+        S, P = model_input.block_tables.shape
         with span("worker.meta_transfer"):
-            attn_meta = model_input.attention_metadata(
-                self.cache_config.block_size
-            )
-            tok_dev = jnp.asarray(model_input.token_ids)
-            pos_dev = jnp.asarray(model_input.positions)
-            sel_dev = jnp.asarray(selected)
-            steps_dev = jnp.asarray(sample_steps)
+            parts = [
+                model_input.token_ids,
+                model_input.positions,
+                model_input.slot_mapping,
+                model_input.block_tables.ravel(),
+                model_input.seq_lens,
+                model_input.query_start_loc,
+                np.asarray(sample_steps, dtype=np.int32),
+                np.asarray([model_input.num_seqs], dtype=np.int32),
+            ]
+            if not spec:
+                parts.append(model_input.selected_token_indices)
+            if feed:
+                prev_tokens, prev_map = prev
+                parts.append(prev_map)
+            else:
+                prev_tokens = None
+            packed = jnp.asarray(np.concatenate(parts))
+            spec_rows = jnp.asarray(model_input.spec_rows) if spec else None
         with span("worker.step_call"):
             kv_cache, kv_scales, tokens, logprobs, top_out = self._step_fn(
                 self.params,
                 self.cache_engine.kv_cache,
                 self.cache_engine.kv_scales,
-                tok_dev,
-                pos_dev,
-                attn_meta,
-                sel_dev,
+                packed,
                 sampling_arrays,
-                steps_dev,
-                *prev_args,
+                prev_tokens,
+                spec_rows,
+                T=T,
+                S=S,
+                P=P,
+                decode_only=(
+                    model_input.num_prefills == 0
+                    and model_input.spec_rows is None
+                ),
                 needs_sampling=sampling.needs_sampling,
                 needs_penalties=sampling.needs_penalties,
                 needs_typical=sampling.needs_typical,

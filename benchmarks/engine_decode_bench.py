@@ -30,9 +30,62 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _int8_params(cfg):
+    """Random INT8 weights (int8_decode_bench parity — perf depends only on
+    shapes): stacked [L, K, N] per-projection tensors with grouped scales."""
+    import jax
+    import jax.numpy as jnp
+
+    from atoma_infer_tpu.ops.quant import QuantizedTensor
+
+    L, H, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    G = 128
+
+    def rand_q(key, shape_in, shape_out):
+        k1, _ = jax.random.split(jax.random.PRNGKey(key))
+        qw = jax.random.randint(
+            k1, (L, shape_in, shape_out), -127, 127, jnp.int8
+        )
+        scales = jnp.full((L, shape_in // G, shape_out), 0.01, jnp.bfloat16)
+        return QuantizedTensor(qweight=qw, scales=scales, bits=8, group_size=G)
+
+    return {
+        "embed": jax.random.normal(
+            jax.random.PRNGKey(0), (cfg.vocab_size, H), jnp.bfloat16
+        )
+        * 0.01,
+        "layers": {
+            "input_norm": jnp.ones((L, H), jnp.bfloat16),
+            "q_proj": rand_q(1, H, 4096),
+            "k_proj": rand_q(2, H, 1024),
+            "v_proj": rand_q(3, H, 1024),
+            "o_proj": rand_q(4, 4096, H),
+            "post_norm": jnp.ones((L, H), jnp.bfloat16),
+            "gate_proj": rand_q(5, H, I),
+            "up_proj": rand_q(6, H, I),
+            "down_proj": rand_q(7, I, H),
+        },
+        "final_norm": jnp.ones((H,), jnp.bfloat16),
+        "lm_head": QuantizedTensor(
+            qweight=jax.random.randint(
+                jax.random.PRNGKey(8), (H, cfg.vocab_size), -127, 127,
+                jnp.int8,
+            ),
+            scales=jnp.full((1, cfg.vocab_size), 0.0001, jnp.bfloat16),
+            bits=8,
+            group_size=H,
+        ),
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--seqs", type=int, default=256)
+    parser.add_argument(
+        "--model", choices=("1b", "8b"), default="1b",
+        help="1b = Llama-3.2-1B bf16 (BASELINE #2); 8b = Llama-3.1-8B "
+        "INT8 weights + INT8 KV (BASELINE #3, the north star)",
+    )
+    parser.add_argument("--seqs", type=int, default=None)
     parser.add_argument("--prompt-len", type=int, default=64)
     parser.add_argument("--max-new", type=int, default=97)
     parser.add_argument("--block-size", type=int, default=32)
@@ -61,7 +114,24 @@ def main() -> None:
     from atoma_infer_tpu.types import GenerateParameters, GenerateRequest
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    if on_tpu:
+    int8 = args.model == "8b" and on_tpu
+    if int8:
+        # Llama-3.1-8B shapes, INT8 weights + INT8 KV (int8_decode_bench
+        # parity; random weights — perf depends only on shapes).
+        cfg = LlamaConfig(
+            vocab_size=128256,
+            hidden_size=4096,
+            intermediate_size=14336,
+            num_hidden_layers=32,
+            num_attention_heads=32,
+            num_key_value_heads=8,
+            head_dim=128,
+            max_position_embeddings=4096,
+            tie_word_embeddings=False,
+            eos_token_ids=(),
+        )
+        args.seqs = args.seqs or 176
+    elif on_tpu:
         # Llama-3.2-1B shapes (bench.py parity; random weights).
         cfg = LlamaConfig(
             vocab_size=128256,
@@ -75,6 +145,7 @@ def main() -> None:
             tie_word_embeddings=True,
             eos_token_ids=(),  # nothing stops early: decode bucket is stable
         )
+        args.seqs = args.seqs or 256
     else:
         cfg = LlamaConfig(
             vocab_size=2048,
@@ -88,15 +159,23 @@ def main() -> None:
             tie_word_embeddings=True,
             eos_token_ids=(),
         )
-        args.seqs = min(args.seqs, 32)
+        args.seqs = min(args.seqs or 32, 32)
 
     S, P, N = args.seqs, args.prompt_len, args.max_new
     total_len = P + N
     blocks_per_seq = -(-total_len // args.block_size)
     model = Llama(cfg, dtype=jnp.bfloat16)
-    params = model.init_params(jax.random.PRNGKey(0))
+    if int8:
+        params = _int8_params(cfg)
+    else:
+        params = model.init_params(jax.random.PRNGKey(0))
     config = EngineConfig(
-        model=ModelConfig(model_name="llama-1b-shapes", dtype="bfloat16"),
+        model=ModelConfig(
+            model_name=f"llama-{args.model}-shapes",
+            dtype="bfloat16",
+            quantization="int8" if int8 else None,
+            kv_cache_dtype="int8" if int8 else None,
+        ),
         cache=CacheConfig(
             block_size=args.block_size,
             num_device_blocks_override=S * blocks_per_seq + 16,
@@ -150,11 +229,16 @@ def main() -> None:
 
     async def go():
         task = asyncio.create_task(service.engine.run())
-        # Warmup wave at the SAME bucket shapes: compiles the prefill bucket
+        # Warmup waves at the SAME bucket shapes: compile the prefill bucket
         # and the decode bucket (plus the async feed variant) OUTSIDE the
         # timed window — otherwise the decode-program compile lands between
-        # first_token_time and finished_time and inflates ms/step.
+        # first_token_time and finished_time and inflates ms/step. TWO waves:
+        # the second wave's prefill consumes step-OUTPUT kv buffers (not the
+        # freshly zeroed allocation), whose layouts key a retrace+reload
+        # (~40 s through the compile cache) that would otherwise hit the
+        # measured wave (JAX_EXPLAIN_CACHE_MISSES attribution).
         await wave("w", 4)
+        await wave("x", 4)
         results = await wave("r", N)
         service.stop()
         task.cancel()
@@ -201,7 +285,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "engine_decode_tokens_per_sec_llama1b_bf16",
+                "metric": (
+                    "engine_decode_tokens_per_sec_llama"
+                    f"{args.model}_{'int8' if int8 else 'bf16'}"
+                ),
                 "value": round(decode_tokens / decode_s, 1),
                 "unit": "tokens/s",
                 "async_scheduling": args.async_scheduling,

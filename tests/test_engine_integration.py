@@ -424,3 +424,57 @@ class TestSwapPressure:
             toks_b = sorted(tuple(o.token_ids) for o in rb.outputs)
             toks_t = sorted(tuple(o.token_ids) for o in rt.outputs)
             assert toks_b == toks_t
+
+
+class TestRandomPhysicalBlockOrder:
+    """Physical-layout independence (ref: the random-block-order decode test
+    on real weights, models/src/llama_nccl.rs:361-613): shuffling the block
+    allocator's free list — so every sequence's KV pages land at arbitrary
+    physical block numbers — must not change a single output token. Pins the
+    block-table indirection through prefill KV writes, decode attention
+    reads, CoW and sampling, end to end."""
+
+    def _run(self, shuffle: bool):
+        import random
+        from collections import deque
+
+        async def scenario():
+            # Python block manager: its allocator free list is a plain deque
+            # we can shuffle (the native core allocates by its own order).
+            service = make_service(use_native_core=False)
+            if shuffle:
+                alloc = (
+                    service.engine.scheduler.block_manager.device_allocator
+                )
+                blocks = list(alloc.free_blocks)
+                random.Random(1234).shuffle(blocks)
+                alloc.free_blocks = deque(blocks)
+            task = asyncio.create_task(service.engine.run())
+            futs = []
+            for i in range(8):
+                futs.append(
+                    await service.handle_request(
+                        GenerateRequest(
+                            request_id=f"blk-{i}",
+                            inputs=f"physical order {i} " * (1 + i % 3),
+                            parameters=GenerateParameters(max_new_tokens=20),
+                        )
+                    )
+                )
+            results = await asyncio.wait_for(
+                asyncio.gather(*futs), timeout=120
+            )
+            service.stop()
+            task.cancel()
+            return results
+
+        return run(scenario())
+
+    def test_outputs_identical_under_shuffled_blocks(self):
+        seq = self._run(shuffle=False)
+        shuf = self._run(shuffle=True)
+        for a, b in zip(seq, shuf):
+            assert a.outputs[0].token_ids == b.outputs[0].token_ids
+            assert a.outputs[0].logprobs == pytest.approx(
+                b.outputs[0].logprobs, abs=1e-4
+            )

@@ -1,11 +1,15 @@
 """Isolate the engine's jitted step-program cost from engine host overhead.
 
 Builds the EXACT program the serving engine dispatches for a 256-seq decode
-step (ModelWorker._step_fn with sampler, selected-token gather, feed path)
+step (ModelWorker._invoke: packed-metadata transfer + sampler + feed path)
 and times it two ways:
   (a) bench.py-style: chained dispatch loop, one final fetch;
   (b) engine-style: fetch tokens+logprobs every step (what PendingStep does).
 The difference attributes dispatch/fetch serialization through the tunnel.
+
+This probe found the round-3→4 engine gap: the step program and its
+transfers were fine (~10-13 ms chained) — per-step fetch round-trips and
+in-window compiles were the cost (see engine_decode_bench).
 """
 from __future__ import annotations
 
@@ -24,7 +28,6 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--seqs", type=int, default=256)
     p.add_argument("--steps", type=int, default=64)
-    p.add_argument("--feed", type=int, default=1)
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -35,10 +38,10 @@ def main() -> None:
 
     from atoma_infer_tpu.config import CacheConfig, SchedulerConfig
     from atoma_infer_tpu.engine.cache_engine import CacheEngine
+    from atoma_infer_tpu.engine.input_prep import ModelInput
     from atoma_infer_tpu.engine.sampler import SamplingTensors
-    from atoma_infer_tpu.engine.worker import ModelWorker
+    from atoma_infer_tpu.engine.worker import ModelWorker, _pack_outputs
     from atoma_infer_tpu.models.llama import Llama, LlamaConfig
-    from atoma_infer_tpu.ops.attention import AttentionMetadata
     from atoma_infer_tpu.sampling_params import NextTokenChooserParameters
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -61,8 +64,8 @@ def main() -> None:
 
     S = args.seqs
     block_size = 32
-    ctx = 64  # same starting context as engine_decode_bench prompts
-    total = ctx + args.steps + 2
+    ctx = 64
+    total = ctx + 2 * args.steps + 2
     pages_per_seq = -(-total // block_size)
     num_blocks = S * pages_per_seq + 16
 
@@ -89,13 +92,12 @@ def main() -> None:
     worker = ModelWorker(model, params, cache_engine, sched_cfg, cache_cfg)
 
     rng = np.random.default_rng(0)
-    tables_np = (
-        rng.permutation(num_blocks - 1)[: S * pages_per_seq] + 1
-    ).reshape(S, pages_per_seq).astype(np.int32)
-    # Pad table width to the engine's bucket (max_pages_per_seq)
     P = worker.max_pages_per_seq
-    tables_full = np.zeros((S, P), dtype=np.int32)
-    tables_full[:, : min(P, pages_per_seq)] = tables_np[:, :P]
+    tables = np.zeros((S, P), dtype=np.int32)
+    perm = (
+        rng.permutation(num_blocks - 1)[: S * pages_per_seq] + 1
+    ).reshape(S, pages_per_seq)
+    tables[:, : min(P, pages_per_seq)] = perm[:, :P]
 
     sp = NextTokenChooserParameters()
     sampling = SamplingTensors.build([sp] * S, [[0]] * S, S, [0] * S)
@@ -110,150 +112,59 @@ def main() -> None:
         "frequency_penalty": jnp.asarray(sampling.frequency_penalty),
         "recent_tokens": jnp.asarray(sampling.recent_tokens),
     }
-    tables = jnp.asarray(tables_full)
-    qsl = jnp.arange(S + 1, dtype=jnp.int32)
-    num_seqs = jnp.asarray(S, jnp.int32)
-    sel = jnp.arange(S, dtype=jnp.int32)
-    feed = bool(args.feed)
-    prev_map = jnp.arange(S, dtype=jnp.int32) if feed else None
+    zero_steps = np.zeros(S, dtype=np.int32)
 
-    def dispatch(i, tokens, steps_dev):
+    def model_input_for(i: int) -> ModelInput:
         kv_len = ctx + i
-        page = tables[jnp.arange(S), kv_len // block_size]
-        slots = page * block_size + kv_len % block_size
-        meta = AttentionMetadata(
+        page = tables[np.arange(S), (kv_len // block_size) % P]
+        slots = (page * block_size + kv_len % block_size).astype(np.int32)
+        return ModelInput(
+            token_ids=np.zeros(S, np.int32),  # overridden by feed
+            positions=np.full(S, kv_len, np.int32),
             slot_mapping=slots,
             block_tables=tables,
-            seq_lens=jnp.full((S,), kv_len + 1, jnp.int32),
-            query_start_loc=qsl,
-            num_seqs=num_seqs,
-            block_size=block_size,
-            decode_only=True,
+            seq_lens=np.full(S, kv_len + 1, np.int32),
+            query_start_loc=np.arange(S + 1, dtype=np.int32),
+            num_seqs=np.asarray(S, dtype=np.int32),
+            selected_token_indices=np.arange(S, dtype=np.int32),
+            sample_mask=np.ones(S, bool),
+            seq_ids=list(range(S)),
+            request_ids=[f"r{j}" for j in range(S)],
+            num_prefills=0,
         )
-        kv_cache, kv_scales, toks, lps, top = worker._step_fn(
-            params,
-            cache_engine.kv_cache,
-            cache_engine.kv_scales,
-            tokens,
-            jnp.full((S,), kv_len, jnp.int32),
-            meta,
-            sel,
-            sampling_arrays,
-            steps_dev,
-            tokens if feed else None,
-            prev_map,
-            needs_sampling=False,
-            needs_penalties=False,
-            needs_typical=False,
-            top_n=0,
-            spec=False,
-            feed=feed,
-        )
-        cache_engine.kv_cache = kv_cache
-        return toks, lps
 
-    def dispatch_hostfed(i, tokens, *, refresh_sampling: bool):
-        """Engine-style: every per-step input is a fresh host numpy array
-        transferred via jnp.asarray (what ModelWorker.dispatch does)."""
-        kv_len = ctx + i
-        page = tables_full[np.arange(S), (kv_len // block_size) % P]
-        slots_np = (page * block_size + kv_len % block_size).astype(np.int32)
-        meta = AttentionMetadata(
-            slot_mapping=jnp.asarray(slots_np),
-            block_tables=jnp.asarray(tables_full),
-            seq_lens=jnp.asarray(np.full(S, kv_len + 1, np.int32)),
-            query_start_loc=jnp.asarray(np.arange(S + 1, dtype=np.int32)),
-            num_seqs=jnp.asarray(np.asarray(S, np.int32)),
-            block_size=block_size,
-            decode_only=True,
-        )
-        if refresh_sampling:
-            sa = {
-                k: jnp.asarray(np.asarray(v))
-                for k, v in sampling_np.items()
-            }
-        else:
-            sa = sampling_arrays
-        kv_cache, kv_scales, toks, lps, top = worker._step_fn(
-            params,
-            cache_engine.kv_cache,
-            cache_engine.kv_scales,
-            jnp.asarray(np.zeros(S, np.int32)),
-            jnp.asarray(np.full(S, kv_len, np.int32)),
-            meta,
-            jnp.asarray(np.arange(S, dtype=np.int32)),
-            sa,
-            jnp.asarray(np.full(S, i, np.int32)),
-            tokens if feed else None,
-            jnp.asarray(np.arange(S, dtype=np.int32)) if feed else None,
-            needs_sampling=False,
-            needs_penalties=False,
-            needs_typical=False,
-            top_n=0,
-            spec=False,
-            feed=feed,
-        )
-        cache_engine.kv_cache = kv_cache
-        return toks, lps
+    prev_map = np.arange(S, dtype=np.int32)
 
-    sampling_np = {
-        "temperature": sampling.temperature,
-        "top_k": sampling.top_k,
-        "top_p": sampling.top_p,
-        "typical_p": sampling.typical_p,
-        "do_sample": sampling.do_sample,
-        "seeds": sampling.seeds,
-        "repetition_penalty": sampling.repetition_penalty,
-        "frequency_penalty": sampling.frequency_penalty,
-        "recent_tokens": sampling.recent_tokens,
-    }
+    def dispatch(i, prev_tokens):
+        toks, lps, top = worker._invoke(
+            model_input_for(i), sampling_arrays, zero_steps, sampling,
+            prev=(prev_tokens, prev_map),
+        )
+        return toks, lps
 
     tokens = jnp.zeros((S,), jnp.int32)
-    steps_dev = jnp.zeros((S,), jnp.int32)
     t0 = time.perf_counter()
-    toks, lps = dispatch(0, tokens, steps_dev)
+    toks, lps = dispatch(0, tokens)
     np.asarray(toks)
     print(f"first step (compile): {time.perf_counter() - t0:.1f}s", flush=True)
 
     # (a) chained, single final fetch
     t0 = time.perf_counter()
     for i in range(1, 1 + args.steps):
-        toks, lps = dispatch(i, toks, steps_dev + i)
+        toks, lps = dispatch(i, toks)
     np.asarray(toks)
     dt_a = (time.perf_counter() - t0) / args.steps * 1000
     print(f"(a) chained dispatch, final fetch:   {dt_a:.2f} ms/step", flush=True)
 
-    # (b) fetch every step (PendingStep.complete pattern)
+    # (b) packed fetch every step (PendingStep pattern)
     t0 = time.perf_counter()
     for i in range(1, 1 + args.steps):
-        toks, lps = dispatch(args.steps + i, toks, steps_dev + i)
-        np.asarray(toks)
-        np.asarray(lps)
+        toks, lps = dispatch(args.steps + i, toks)
+        packed = _pack_outputs(toks, lps)
+        packed.copy_to_host_async()
+        np.asarray(packed)
     dt_b = (time.perf_counter() - t0) / args.steps * 1000
-    print(f"(b) fetch-every-step:                {dt_b:.2f} ms/step", flush=True)
-
-    # (c) host-fed args (meta/tokens/selected fresh transfers), chained
-    base = 2 * args.steps
-    t0 = time.perf_counter()
-    for i in range(1, 1 + args.steps):
-        toks, lps = dispatch_hostfed(base + i, toks, refresh_sampling=False)
-    np.asarray(toks)
-    dt_c = (time.perf_counter() - t0) / args.steps * 1000
-    print(f"(c) host-fed meta, chained:          {dt_c:.2f} ms/step", flush=True)
-
-    # (d) host-fed args incl. resent sampling arrays + fetch each step
-    base = 3 * args.steps
-    t0 = time.perf_counter()
-    for i in range(1, 1 + args.steps):
-        toks, lps = dispatch_hostfed(base + i, toks, refresh_sampling=True)
-        np.asarray(toks)
-        np.asarray(lps)
-    dt_d = (time.perf_counter() - t0) / args.steps * 1000
-    print(f"(d) host-fed + sampling + fetch:     {dt_d:.2f} ms/step", flush=True)
-
-
-if __name__ == "__main__":
-    main()
+    print(f"(b) packed fetch-every-step:         {dt_b:.2f} ms/step", flush=True)
 
 
 if __name__ == "__main__":
