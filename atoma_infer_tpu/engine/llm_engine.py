@@ -271,9 +271,16 @@ class LlmEngine:
                 self._scheduler_for(group).add_sequence_group(group)
 
     # ------------------------------------------------------------------- step
+    # Multi-host lockstep hook (engine/multihost.py): host 0's PrimarySync
+    # broadcasts the step's admission delta here so every host's replicated
+    # scheduler sees the identical request stream.
+    pre_step = None
+
     @instrument("engine.step")
     def step(self) -> List[GenerateRequestOutput]:
         """One engine iteration (ref: llm_engine.rs:216-245)."""
+        if self.pre_step is not None:
+            self.pre_step()
         if len(self.schedulers) > 1:
             return self._step_pipelined()
         self._drain_aborts()
