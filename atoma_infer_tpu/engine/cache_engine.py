@@ -228,6 +228,34 @@ class CacheEngine:
                 copy_blocks_layer_jit(s, pj) for s in self.kv_scales
             )
 
+    def swap_blocks_to(
+        self, dst: "CacheEngine", mapping: List[Tuple[int, int]]
+    ) -> None:
+        """Device-to-device block copy into ANOTHER cache engine's buffers
+        (ref: csrc/src/cache_manager.rs:18-128 — swap_blocks with both
+        tensors resident on device; there it moves blocks between GPUs,
+        here between cache tiers/stages, e.g. pipeline-stage migration).
+        Same-engine moves are :meth:`copy`."""
+        if not mapping:
+            return
+        src_ids = jnp.asarray([s for s, _ in mapping], jnp.int32)
+        dst_ids = jnp.asarray([d for _, d in mapping], jnp.int32)
+        dst.kv_cache = tuple(
+            scatter_blocks_layer_jit(
+                d_layer, dst_ids, gather_blocks_layer_jit(s_layer, src_ids)
+            )
+            for s_layer, d_layer in zip(self.kv_cache, dst.kv_cache)
+        )
+        if self.kv_scales is not None and dst.kv_scales is not None:
+            dst.kv_scales = tuple(
+                scatter_blocks_layer_jit(
+                    d_layer,
+                    dst_ids,
+                    gather_blocks_layer_jit(s_layer, src_ids),
+                )
+                for s_layer, d_layer in zip(self.kv_scales, dst.kv_scales)
+            )
+
     @property
     def quantized(self) -> bool:
         return self.kv_scales is not None

@@ -12,6 +12,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import os
 import time
 from typing import Optional
 
@@ -78,24 +79,46 @@ async def completion_handler(request: web.Request) -> web.StreamResponse:
         },
     )
     await response.prepare(request)
+    # Env knobs (ref: main.rs:64-67 STREAMING_INTERVAL_IN_MILLIS, default
+    # 100 there; default 0 here = flush every token immediately). The SSE
+    # keep-alive comment interval is ours (the reference sends none).
+    interval_s = (
+        float(os.environ.get("STREAMING_INTERVAL_IN_MILLIS", "0") or 0)
+        / 1000.0
+    )
+    keepalive_s = float(os.environ.get("ATOMA_SSE_KEEPALIVE_SECS", "15") or 15)
     try:
-        while True:
+        done = False
+        while not done:
             try:
-                chunk = await asyncio.wait_for(queue.get(), timeout=15.0)
+                chunk = await asyncio.wait_for(
+                    queue.get(), timeout=keepalive_s
+                )
             except asyncio.TimeoutError:
                 await response.write(b": keep-alive\n\n")
                 continue
-            if chunk is None:
-                break
-            payload = api.chunk_response(
-                gen_request.request_id,
-                body["model"],
-                chunk.text,
-                chunk.finish_reason if chunk.finished else None,
-            )
-            await response.write(
-                f"data: {json.dumps(payload)}\n\n".encode()
-            )
+            if interval_s > 0:
+                # Coalesce tokens arriving within the flush interval.
+                await asyncio.sleep(interval_s)
+            chunks = [chunk]
+            while True:
+                try:
+                    chunks.append(queue.get_nowait())
+                except asyncio.QueueEmpty:
+                    break
+            for chunk in chunks:
+                if chunk is None:
+                    done = True
+                    break
+                payload = api.chunk_response(
+                    gen_request.request_id,
+                    body["model"],
+                    chunk.text,
+                    chunk.finish_reason if chunk.finished else None,
+                )
+                await response.write(
+                    f"data: {json.dumps(payload)}\n\n".encode()
+                )
         await response.write(b"data: [DONE]\n\n")
         result = await fut
         _observe_result(result)

@@ -210,3 +210,38 @@ class TestForkAttentionOracle:
         np.testing.assert_allclose(got_fork, want_fork, rtol=2e-2, atol=2e-2)
         # The two outputs must genuinely differ (fork saw its own token).
         assert not np.allclose(got_parent, got_fork, atol=1e-3)
+
+
+class TestDeviceToDeviceSwap:
+    """swap_blocks with both caches on device (ref:
+    csrc/src/cache_manager.rs:18-128 cross-GPU swap; here cross-engine)."""
+
+    def test_blocks_copied_between_engines(self):
+        src = _make_engine()
+        dst = _make_engine()
+        a = _fill_block(src, 0, 2, seed=7)
+        b = _fill_block(src, 1, 5, seed=8)
+        src.swap_blocks_to(dst, [(2, 3), (5, 1)])
+        np.testing.assert_allclose(
+            np.asarray(dst.kv_cache[0][3], dtype=np.float32), a, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(dst.kv_cache[1][1], dtype=np.float32), b, atol=1e-6
+        )
+        # Source unchanged.
+        np.testing.assert_allclose(
+            np.asarray(src.kv_cache[0][2], dtype=np.float32), a, atol=1e-6
+        )
+
+    def test_int8_scales_move_too(self):
+        src = _make_engine(dtype=jnp.int8)
+        dst = _make_engine(dtype=jnp.int8)
+        cache = list(src.kv_cache)
+        cache[0] = cache[0].at[4].set(7)
+        src.kv_cache = tuple(cache)
+        scales = list(src.kv_scales)
+        scales[0] = scales[0].at[4].set(0.25)
+        src.kv_scales = tuple(scales)
+        src.swap_blocks_to(dst, [(4, 6)])
+        assert int(np.asarray(dst.kv_cache[0][6]).flat[0]) == 7
+        assert float(np.asarray(dst.kv_scales[0][6]).flat[0]) == 0.25
