@@ -91,6 +91,12 @@ def main() -> None:
     parser.add_argument("--block-size", type=int, default=32)
     parser.add_argument("--async-scheduling", action="store_true")
     parser.add_argument("--async-depth", type=int, default=2)
+    parser.add_argument(
+        "--chunked-prefill", action="store_true",
+        help="prefill in 8192-token chunks instead of one whole-wave step "
+        "(required for long prompts: a 176x448-token single prefill "
+        "program OOMs 8B activations)",
+    )
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -183,8 +189,13 @@ def main() -> None:
         ),
         scheduler=SchedulerConfig(
             # Whole-batch prefill in ONE step (one compile), then pure
-            # decode steps at a single S-sequence bucket.
-            max_num_batched_tokens=max(S * P, total_len + 1),
+            # decode steps at a single S-sequence bucket. Long prompts use
+            # chunked prefill instead (see --chunked-prefill).
+            max_num_batched_tokens=(
+                8192 if args.chunked_prefill
+                else max(S * P, total_len + 1)
+            ),
+            enable_chunked_prefill=args.chunked_prefill,
             max_num_sequences=S,
             max_model_len=total_len + 1,
             async_scheduling=args.async_scheduling,
