@@ -120,6 +120,7 @@ class LlmEngine:
         self._pending_aborts: queue.SimpleQueue = queue.SimpleQueue()
         self._stopping = False
         self._patched_tokens = 0
+        self._consecutive_failures = 0
         # Captured by run(); step() may execute on a worker thread, so all
         # queue/future completions hop through call_soon_threadsafe.
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -223,12 +224,45 @@ class LlmEngine:
             self._drain_new_requests()
             try:
                 await loop.run_in_executor(None, self._step_burst)
-            except Exception:
-                # Keep stepping for liveness (ref: llm_engine.rs:195-200).
+                self._consecutive_failures = 0
+            except Exception as e:
+                # Keep stepping for liveness (ref: llm_engine.rs:195-200) —
+                # but a PERSISTENT failure (e.g. a program that can never
+                # compile within HBM) would otherwise spin forever with
+                # every request hung: after several consecutive failures,
+                # fail the outstanding requests and stop.
+                self._consecutive_failures += 1
+                if self._consecutive_failures >= self.MAX_STEP_FAILURES:
+                    logger.error(
+                        "engine step failed %d times consecutively; "
+                        "failing %d outstanding requests and stopping",
+                        self._consecutive_failures,
+                        len(self._response_futures),
+                    )
+                    self._fail_all(e)
+                    return
                 logger.exception("engine step failed; continuing")
                 await asyncio.sleep(0.05)
             # Yield so admissions/streams interleave between steps.
             await asyncio.sleep(0)
+
+    # Consecutive step failures tolerated before the engine declares the
+    # error persistent, fails outstanding requests, and stops.
+    MAX_STEP_FAILURES = 5
+
+    def _fail_all(self, exc: Exception) -> None:
+        self._stopping = True
+        for rid, fut in list(self._response_futures.items()):
+            if not fut.done():
+                fut.get_loop().call_soon_threadsafe(
+                    lambda f=fut, e=exc: f.done() or f.set_exception(
+                        RuntimeError(f"engine failed persistently: {e}")
+                    )
+                )
+        self._response_futures.clear()
+        for queue in self._stream_queues.values():
+            self._put_threadsafe(queue, None)
+        self._stream_queues.clear()
 
     # Steps executed per executor hop: the asyncio thread hand-off costs a
     # few ms per hop, which at ~15 ms steps is a ~20% tax. Burst several

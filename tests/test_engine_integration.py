@@ -478,3 +478,33 @@ class TestRandomPhysicalBlockOrder:
             assert a.outputs[0].logprobs == pytest.approx(
                 b.outputs[0].logprobs, abs=1e-4
             )
+
+
+class TestPersistentFailureStops:
+    """A step error that never clears (e.g. a program that cannot compile
+    in HBM) must not spin the liveness loop forever: after
+    MAX_STEP_FAILURES consecutive failures the engine fails outstanding
+    request futures and stops."""
+
+    def test_outstanding_futures_fail(self):
+        async def scenario():
+            service = make_service()
+
+            def boom():
+                raise RuntimeError("synthetic persistent failure")
+
+            service.engine.step = boom
+            task = asyncio.create_task(service.engine.run())
+            fut = await service.handle_request(
+                GenerateRequest(
+                    request_id="doomed",
+                    inputs="hello",
+                    parameters=GenerateParameters(max_new_tokens=4),
+                )
+            )
+            with pytest.raises(RuntimeError, match="persistently"):
+                await asyncio.wait_for(fut, timeout=60)
+            await asyncio.wait_for(task, timeout=60)  # loop exited
+            return True
+
+        assert run(scenario())
