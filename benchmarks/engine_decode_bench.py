@@ -240,16 +240,18 @@ def main() -> None:
 
     async def go():
         task = asyncio.create_task(service.engine.run())
-        # Warmup waves at the SAME bucket shapes: compile the prefill bucket
-        # and the decode bucket (plus the async feed variant) OUTSIDE the
-        # timed window — otherwise the decode-program compile lands between
-        # first_token_time and finished_time and inflates ms/step. TWO waves:
-        # the second wave's prefill consumes step-OUTPUT kv buffers (not the
-        # freshly zeroed allocation), whose layouts key a retrace+reload
-        # (~40 s through the compile cache) that would otherwise hit the
-        # measured wave (JAX_EXPLAIN_CACHE_MISSES attribution).
-        await wave("w", 4)
-        await wave("x", 4)
+        # Warmup waves with the SAME shape trajectory as the measured wave
+        # (same max_new: chunked prefill walks through many mixed
+        # prefill+decode bucket shapes as decode sequences accumulate, and
+        # every one is its own program): compiles land OUTSIDE the timed
+        # window — otherwise they sit between first_token_time and
+        # finished_time and inflate ms/step. TWO waves: the second wave's
+        # prefill consumes step-OUTPUT kv buffers (not the freshly zeroed
+        # allocation), whose layouts key a retrace+reload (~40 s through
+        # the compile cache) that would otherwise hit the measured wave
+        # (JAX_EXPLAIN_CACHE_MISSES attribution).
+        await wave("w", N)
+        await wave("x", N)
         results = await wave("r", N)
         service.stop()
         task.cancel()
@@ -286,6 +288,21 @@ def main() -> None:
 
     tokens = sum(len(r.outputs[0].token_ids) for r in results)
     assert tokens == S * N, (tokens, S * N)
+    # Steady-state decode: median engine.step over the measured wave's
+    # sub-second steps (a residual program compile/reload in the window —
+    # chunked prefill walks many shapes — otherwise pollutes the windowed
+    # average; the median is the sustained-serving number).
+    steady_ms = None
+    if os.environ.get("ATOMA_TRACE"):
+        from atoma_infer_tpu.utils import tracing as _tr
+
+        ds = sorted(
+            r.duration_ms
+            for r in _tr.recent_spans("engine.step")
+            if r.duration_ms < 1000
+        )
+        if ds:
+            steady_ms = round(ds[len(ds) // 2], 2)
     # Steady-state decode: every sequence's first token comes out of the
     # single prefill step; the remaining N−1 tokens per sequence are decode
     # steps. first_token_time is stamped when the prefill step completes.
@@ -307,6 +324,10 @@ def main() -> None:
                 "prompt_len": P,
                 "max_new": N,
                 "decode_ms_per_step": round(1000 * decode_s / (N - 1), 2),
+                "steady_decode_ms_median": steady_ms,
+                "steady_tokens_per_sec": (
+                    round(1000.0 * S / steady_ms, 1) if steady_ms else None
+                ),
                 "wall_s": round(wall, 1),
                 "vs_baseline": None,
             }
