@@ -17,11 +17,16 @@ Layout contract (matches ops/quant.quantize_weight):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# INT4 single-dot mode: fold scale+bias into a bf16 dequant scratch and use
+# one whole-K-block dot (see _kernel_i4). A/B knob for perf work.
+_I4_SINGLEDOT = os.environ.get("ATOMA_I4_SINGLEDOT", "0") not in ("", "0")
 
 
 def _scale_row(s_ref, k):
@@ -90,8 +95,8 @@ def _kernel_i8(
 
 
 def _kernel_i4(
-    x_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int, groups_per_blk: int,
-    group_size: int, use_bitcast: bool, stacked: bool,
+    x_ref, w_ref, s_ref, o_ref, acc_ref, w_un_ref, *, n_k: int,
+    groups_per_blk: int, group_size: int, use_bitcast: bool, stacked: bool,
 ):
     k = pl.program_id(2)
     if stacked:
@@ -103,6 +108,8 @@ def _kernel_i4(
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     packed = w_ref[...]  # [BK/2, BN] int8, group-local halves, BIASED q+8
+    half = group_size // 2
+    x_blk = x_ref[...]
     if use_bitcast:
         # Nibble extraction in int32: bitcast packs 4 int8 sublanes per
         # int32 lane, mask/shift extract all nibbles as bytes, bitcast back
@@ -114,6 +121,63 @@ def _kernel_i4(
         p32 = pltpu.bitcast(packed, jnp.int32)            # [BK/8, BN]
         lo = pltpu.bitcast(p32 & 0x0F0F0F0F, jnp.int8)    # [BK/2, BN] 0..15
         hi = pltpu.bitcast((p32 >> 4) & 0x0F0F0F0F, jnp.int8)
+        if _I4_SINGLEDOT:
+            # Fold scale + bias into a bf16 dequant scratch and contract the
+            # WHOLE K block in one MXU dot: groups_per_blk× fewer issues
+            # than the int8 kernel and zero scale/bias epilogue, for ~4 VPU
+            # ops per weight (sub, convert, mul, store). At 8B decode the
+            # matmuls are MXU-issue-bound, not HBM-bound, so fewer issues
+            # beat exact-integer accumulation; bf16 rounding of w·s adds
+            # ~0.3% relative error on top of 4-bit quantization noise.
+            for g in range(groups_per_blk):
+                s_row = _scale_row(s_ref, k * groups_per_blk + g)
+                w_un_ref[g * group_size : g * group_size + half, :] = (
+                    (lo[g * half : (g + 1) * half, :].astype(jnp.float32)
+                     - 8.0)
+                    * s_row.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+                w_un_ref[
+                    g * group_size + half : (g + 1) * group_size, :
+                ] = (
+                    (hi[g * half : (g + 1) * half, :].astype(jnp.float32)
+                     - 8.0)
+                    * s_row.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+            acc_ref[...] += jax.lax.dot_general(
+                x_blk,
+                w_un_ref[...],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+            @pl.when(k == n_k - 1)
+            def _():
+                o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+            return
+        # Restore contiguous group rows in a VMEM scratch so each group is
+        # ONE K=group_size MXU dot — the same issue structure as the int8
+        # kernel. The previous two-half-dots-per-group form (K=64 each)
+        # halved MXU utilization per issue and measured +45%/layer vs int8
+        # at 8B decode (layer sweep, round 4) — the unpack stores are VPU
+        # copies and cost far less than the K=64 dots they replace.
+        for g in range(groups_per_blk):
+            w_un_ref[g * group_size : g * group_size + half, :] = (
+                lo[g * half : (g + 1) * half, :]
+            )
+            w_un_ref[g * group_size + half : (g + 1) * group_size, :] = (
+                hi[g * half : (g + 1) * half, :]
+            )
+        w_full = w_un_ref[...]
+        dots = [
+            jax.lax.dot_general(
+                x_blk[:, g * group_size : (g + 1) * group_size],
+                w_full[g * group_size : (g + 1) * group_size, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for g in range(groups_per_blk)
+        ]
         biased = True
     else:
         # Interpret-mode fallback (pltpu.bitcast and mixed dots are
@@ -125,28 +189,23 @@ def _kernel_i4(
         lo = (lo_f - 8.0).astype(jnp.bfloat16)
         hi = (hi_f - 8.0).astype(jnp.bfloat16)
         biased = False
-    # Packed halves are group-local (group g's first half rows in lo, second
-    # half in hi): dot each half directly against its x slice — no Mosaic
-    # concat (which lowers to VMEM copies) — and scale the f32 result.
-    half = group_size // 2
-    x_blk = x_ref[...]
-    # All group dots issued back to back before the scale/bias epilogues
-    # (MXU-adjacency — see _scaled_dot note).
-    dots = [
-        jax.lax.dot_general(
-            x_blk[:, g * group_size : g * group_size + half],
-            lo[g * half : (g + 1) * half, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + jax.lax.dot_general(
-            x_blk[:, g * group_size + half : (g + 1) * group_size],
-            hi[g * half : (g + 1) * half, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        for g in range(groups_per_blk)
-    ]
+        # Packed halves are group-local (group g's first half rows in lo,
+        # second half in hi): dot each half against its x slice.
+        dots = [
+            jax.lax.dot_general(
+                x_blk[:, g * group_size : g * group_size + half],
+                lo[g * half : (g + 1) * half, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                x_blk[:, g * group_size + half : (g + 1) * group_size],
+                hi[g * half : (g + 1) * half, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for g in range(groups_per_blk)
+        ]
     acc = None
     for g, d in enumerate(dots):
         s_row = _scale_row(s_ref, k * groups_per_blk + g)  # [1, BN]
@@ -272,7 +331,19 @@ def quantized_matmul_pallas(
         out_specs=pl.BlockSpec((BM, BN), lambda m, n, k: (m, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, N), x.dtype),
-        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        scratch_shapes=(
+            [pltpu.VMEM((BM, BN), jnp.float32)]
+            + (
+                [
+                    pltpu.VMEM(
+                        (BK, BN),
+                        jnp.bfloat16 if _I4_SINGLEDOT else jnp.int8,
+                    )
+                ]
+                if bits == 4
+                else []
+            )
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
