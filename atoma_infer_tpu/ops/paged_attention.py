@@ -56,7 +56,9 @@ NEG_INF = -2.0e30
 WB_SUB = 16  # write-back window rows (bf16 sublane tile)
 WB_SUB_I8 = 32  # write-back window rows for int8 pages (int8 sublane tile)
 SC_SUB = 16  # scale-page write-back window rows (bf16 sublane tile)
-RING_BUFFERS = 4  # chunk-buffer ring depth (cross-entry prefetch)
+# Chunk-buffer ring depth (cross-entry prefetch): NB−1 entries of DMA
+# lookahead. Env-tunable for perf A/B (read at trace time).
+RING_BUFFERS = int(os.environ.get("ATOMA_ATTN_RING", "4"))
 
 
 def _pick_block_q(num_tokens: int, num_seq_slots: int) -> int:
@@ -778,7 +780,10 @@ def _paged_attention_call(
     single_chunk = (
         pages_per_chunk is None
         and BQ <= 16
-        and RING_BUFFERS * chunk_bytes <= 8 * 1024 * 1024
+        # Per-chunk budget (2MB = the historical 8MB/4-slot ring): a deeper
+        # env-tuned ring must not flip the regime it is trying to measure.
+        and chunk_bytes <= 2 * 1024 * 1024
+        and RING_BUFFERS * chunk_bytes <= 12 * 1024 * 1024
     )
     if single_chunk:
         CP = P
