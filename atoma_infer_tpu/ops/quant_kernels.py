@@ -28,6 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 # one whole-K-block dot (see _kernel_i4). A/B knob for perf work.
 _I4_SINGLEDOT = os.environ.get("ATOMA_I4_SINGLEDOT", "0") not in ("", "0")
 
+# W8A8: quantize activations per token to int8 and run int8×int8 MXU dots
+# (double-rate integer path, measured −28% on the 8B gate matmul —
+# results/w8a8_probe.py). Adds activation-quantization noise on top of
+# weight quantization; gated by the logprob check in tests/test_quant.py.
+_W8A8 = os.environ.get("ATOMA_W8A8", "0") not in ("", "0")
+
 
 def _scale_row(s_ref, k):
     """Select scale row k from the full [n_k, BN] block (dynamic sublane
@@ -49,16 +55,25 @@ def _scaled_dot(x_blk, w_blk, s_ref, k, groups_per_blk, group_size):
     issued back to back before the scale epilogues — interleaving
     independent MXU work with VPU epilogues serializes the MXU pipe
     (measured on the attention kernel's per-head loop: phase-splitting the
-    same pattern bought 21% end-to-end)."""
+    same pattern bought 21% end-to-end).
+
+    W8A8 (x_blk int8): int8×int8 dots run the MXU's double-rate integer
+    path (measured 278 vs 387 µs on the 8B gate matmul — results/
+    w8a8_probe.py) with exact int32 accumulation, converted to f32 at the
+    per-group scale epilogue; the caller multiplies the per-token
+    activation scale into the kernel output."""
+    act_int = x_blk.dtype == jnp.int8
     dots = [
         jax.lax.dot_general(
             x_blk[:, g * group_size : (g + 1) * group_size],
             w_blk[g * group_size : (g + 1) * group_size, :],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32 if act_int else jnp.float32,
         )
         for g in range(groups_per_blk)
     ]
+    if act_int:
+        dots = [d.astype(jnp.float32) for d in dots]
     acc = None
     for g, d in enumerate(dots):
         s_row = _scale_row(s_ref, k * groups_per_blk + g)  # [1, BN] f32
@@ -265,6 +280,19 @@ def quantized_matmul_pallas(
     assert scales.shape == want_scales, (scales.shape, want_scales)
 
     xb = x.astype(jnp.bfloat16)
+    act_scale = None
+    if bits == 8 and _W8A8:
+        # W8A8: dynamic symmetric per-token activation quantization. The
+        # int8×int8 dots take the MXU's double-rate integer path (see
+        # _scaled_dot); the per-token scale multiplies the kernel OUTPUT,
+        # so the kernel itself stays scale-free on the activation side.
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)
+        act_scale = jnp.maximum(amax, 1e-8) / 127.0     # [M, 1] f32
+        xq = jnp.clip(jnp.round(xf / act_scale), -127.0, 127.0)
+        # Interpret mode (CPU tests) runs the same integer VALUES through
+        # the float dot path — math identical, no Mosaic mixed-int dots.
+        xb = xq.astype(jnp.bfloat16 if interpret else jnp.int8)
     # M-blocking: decode batches (M ≤ block_m) run one M block and stream
     # every weight block exactly once (bandwidth-bound); prefill chunks tile
     # M and re-read weights n_m× (compute-bound — the re-read is cheap
@@ -349,4 +377,7 @@ def quantized_matmul_pallas(
         ),
         interpret=interpret,
     )(xb, qweight, scales)
-    return out[:M] if Mp != M else out
+    out = out[:M] if Mp != M else out
+    if act_scale is not None:
+        out = (out.astype(jnp.float32) * act_scale).astype(x.dtype)
+    return out
