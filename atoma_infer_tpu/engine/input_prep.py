@@ -78,6 +78,86 @@ class ModelInput:
         )
 
 
+def _prepare_decode_fast(
+    metadata_list: List[SequenceGroupMetadata],
+    *,
+    block_size: int,
+    max_pages_per_seq: int,
+    sliding_window: Optional[int] = None,
+) -> Optional[ModelInput]:
+    """Vectorized pure-decode batch build (one token per sequence, no
+    drafts): the per-token Python loops of the general path cost ~1.5 ms at
+    256 sequences — every step of a long decode. Numpy-vectorizes the slot
+    arithmetic and paddings; falls back to the general path for anything
+    else."""
+    if sliding_window is not None:
+        # Sliding-window slot mapping indexes tables modulo their per-seq
+        # length; the general path handles it.
+        return None
+    seq_ids: List[int] = []
+    request_ids: List[str] = []
+    datas = []
+    tables_list = []
+    for meta in metadata_list:
+        if meta.is_prompt or meta.spec_token_ids:
+            return None
+        for seq_id, seq_data in meta.seq_data.items():
+            seq_ids.append(seq_id)
+            request_ids.append(meta.request_id)
+            datas.append(seq_data)
+            tables_list.append(meta.block_tables[seq_id])
+
+    num_seqs = len(datas)
+    if num_seqs == 0:
+        return None
+    S = bucket(num_seqs, minimum=8)
+    T = S  # one token per sequence
+
+    tok = np.zeros(T, dtype=np.int32)
+    pos = np.zeros(T, dtype=np.int32)
+    sl = np.zeros(S, dtype=np.int32)
+    for i, d in enumerate(datas):
+        tok[i] = d.get_last_token_id()
+        # Decode contract: everything but the newest token is computed
+        # (kv_len = computed + 1; prompt-recompute rows arrive as prompt
+        # metas and are excluded above).
+        sl[i] = d.get_num_computed_tokens() + 1
+    pos[:num_seqs] = sl[:num_seqs] - 1
+
+    max_pages = max((len(t) for t in tables_list), default=1)
+    P = bucket(max(max_pages, 1), minimum=8, maximum=max_pages_per_seq)
+    tables = np.zeros((S, P), dtype=np.int32)
+    for i, t in enumerate(tables_list):
+        tables[i, : min(len(t), P)] = t[:P]
+
+    idx = np.arange(num_seqs)
+    page = tables[idx, pos[:num_seqs] // block_size]
+    slots = np.full(T, PAD_SLOT_ID, dtype=np.int32)
+    slots[:num_seqs] = page * block_size + pos[:num_seqs] % block_size
+
+    qsl = np.zeros(S + 1, dtype=np.int32)
+    qsl[1 : num_seqs + 1] = np.arange(1, num_seqs + 1)
+    qsl[num_seqs + 1 :] = num_seqs
+    sel = np.zeros(S, dtype=np.int32)
+    sel[:num_seqs] = np.arange(num_seqs)
+    smask = np.zeros(S, dtype=bool)
+    smask[:num_seqs] = True
+    return ModelInput(
+        token_ids=tok,
+        positions=pos,
+        slot_mapping=slots,
+        block_tables=tables,
+        seq_lens=sl,
+        query_start_loc=qsl,
+        num_seqs=np.asarray(num_seqs, dtype=np.int32),
+        selected_token_indices=sel,
+        sample_mask=smask,
+        seq_ids=seq_ids,
+        request_ids=request_ids,
+        num_prefills=0,
+    )
+
+
 def prepare_model_input(
     metadata_list: List[SequenceGroupMetadata],
     *,
@@ -93,6 +173,15 @@ def prepare_model_input(
     Layout contract: prefill chunks first, then decode tokens, sequences
     back-to-back (ref: flash_attention.rs:156-174 + scheduler ordering).
     """
+    fast = _prepare_decode_fast(
+        metadata_list,
+        block_size=block_size,
+        max_pages_per_seq=max_pages_per_seq,
+        sliding_window=sliding_window,
+    )
+    if fast is not None:
+        return fast
+
     token_ids: List[int] = []
     positions: List[int] = []
     slot_mapping: List[int] = []

@@ -699,8 +699,19 @@ class LlmEngine:
         already be appended (sync path) or patched in place (async path);
         ``end`` bounds the output tokens considered — with async depth >1
         there may be newer unpatched placeholders past it."""
-        new_text = self.detokenizer.decode_sequence_inplace(seq, end=end)
         stopping = group.stopping_criteria
+        # Lazy detokenization: per-token incremental decode is only needed
+        # for stop-string matching and streaming. Plain requests skip it
+        # entirely (≈1-1.5 ms/step at 256 sequences) — the finish-time
+        # finalize below decodes the whole output in one call.
+        lazy = not getattr(group, "stream", False) and (
+            not stopping.stop_sequences
+        )
+        new_text = (
+            ""
+            if lazy
+            else self.detokenizer.decode_sequence_inplace(seq, end=end)
+        )
         finish_reason: Optional[str] = None
 
         # Stop strings: truncate at the earliest stop match

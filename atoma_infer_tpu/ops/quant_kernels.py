@@ -184,15 +184,20 @@ def _kernel_i4(
                 hi[g * half : (g + 1) * half, :]
             )
         w_full = w_un_ref[...]
+        act_int = x_blk.dtype == jnp.int8  # W8A8: integer MXU path
         dots = [
             jax.lax.dot_general(
                 x_blk[:, g * group_size : (g + 1) * group_size],
                 w_full[g * group_size : (g + 1) * group_size, :],
                 (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=(
+                    jnp.int32 if act_int else jnp.float32
+                ),
             )
             for g in range(groups_per_blk)
         ]
+        if act_int:
+            dots = [d.astype(jnp.float32) for d in dots]
         biased = True
     else:
         # Interpret-mode fallback (pltpu.bitcast and mixed dots are
@@ -281,7 +286,7 @@ def quantized_matmul_pallas(
 
     xb = x.astype(jnp.bfloat16)
     act_scale = None
-    if bits == 8 and _W8A8:
+    if _W8A8 and not (bits == 4 and _I4_SINGLEDOT):
         # W8A8: dynamic symmetric per-token activation quantization. The
         # int8×int8 dots take the MXU's double-rate integer path (see
         # _scaled_dot); the per-token scale multiplies the kernel OUTPUT,
