@@ -252,6 +252,13 @@ def main() -> None:
         # (JAX_EXPLAIN_CACHE_MISSES attribution).
         await wave("w", N)
         await wave("x", N)
+        # Long-lived engine state (params, caches, compiled programs) is in
+        # place after warmup: freeze it out of the collector so periodic
+        # gen-2 collections don't stall mid-decode steps (p90 tail).
+        import gc
+
+        gc.collect()
+        gc.freeze()
         results = await wave("r", N)
         service.stop()
         task.cancel()
