@@ -30,7 +30,7 @@ _I4_SINGLEDOT = os.environ.get("ATOMA_I4_SINGLEDOT", "0") not in ("", "0")
 
 # W8A8: quantize activations per token to int8 and run int8×int8 MXU dots
 # (double-rate integer path, measured −28% on the 8B gate matmul —
-# results/w8a8_probe.py). Adds activation-quantization noise on top of
+# tools/w8a8_probe.py). Adds activation-quantization noise on top of
 # weight quantization; gated by the logprob check in tests/test_quant.py.
 _W8A8 = os.environ.get("ATOMA_W8A8", "0") not in ("", "0")
 
