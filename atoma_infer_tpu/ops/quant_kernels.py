@@ -58,7 +58,7 @@ def _scaled_dot(x_blk, w_blk, s_ref, k, groups_per_blk, group_size):
     same pattern bought 21% end-to-end).
 
     W8A8 (x_blk int8): int8×int8 dots run the MXU's double-rate integer
-    path (measured 278 vs 387 µs on the 8B gate matmul — results/
+    path (measured 278 vs 387 µs on the 8B gate matmul — tools/
     w8a8_probe.py) with exact int32 accumulation, converted to f32 at the
     per-group scale epilogue; the caller multiplies the per-token
     activation scale into the kernel output."""
