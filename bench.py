@@ -35,8 +35,10 @@ def main() -> None:
     import argparse
 
     if "--synthetic" not in sys.argv:
-        # Full-engine benchmark (one JSON line on stdout; span summaries
-        # only with ATOMA_TRACE). Forwards any extra flags.
+        # Full-engine benchmark (one JSON line on stdout). Tracing must be
+        # on BEFORE atoma modules import so the steady-median (the primary
+        # value — see engine_decode_bench) is captured.
+        os.environ.setdefault("ATOMA_TRACE", "1")
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from benchmarks import engine_decode_bench
 
