@@ -350,6 +350,13 @@ class BlockSpaceManager:
         (ref: block_manager.rs:408 ``get_block_table_ids``)."""
         return [b.block_number for b in self.block_tables[seq_id]]
 
+    def last_block_shared(self, seq_id: int) -> bool:
+        """True if the sequence's last physical block is shared (forked) —
+        the next mid-block append will copy-on-write, consuming one free
+        block (scheduler decode fast-path demand precheck)."""
+        table = self.block_tables.get(seq_id)
+        return bool(table) and table[-1].ref_count > 1
+
     def get_num_free_device_blocks(self) -> int:
         return self.device_allocator.get_num_free_blocks()
 

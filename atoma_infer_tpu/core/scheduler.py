@@ -403,11 +403,19 @@ class Scheduler:
         _, metadata_list, per_group_seqs, scheduled = state
 
         # Worst-case block demand this step; preemption needs the full pass.
+        # Two ways append_slots net-consumes one free block per sequence:
+        # crossing a block boundary (new block), or a copy-on-write when the
+        # block the token lands in is shared (forked best_of groups) —
+        # allocate new + decrement the still-shared old block. Count both so
+        # the allocator can never raise mid-loop after tables were mutated.
         bs = self.cache_config.block_size
+        bm = self.block_manager
         needed = 0
         for seqs in per_group_seqs:
             for s in seqs:
                 if (s.get_len() - 1) % bs == 0:
+                    needed += 1
+                elif len(seqs) > 1 and bm.last_block_shared(s.seq_id):
                     needed += 1
         if needed > self.block_manager.get_num_free_device_blocks():
             return None

@@ -118,6 +118,14 @@ class LlmEngine:
         self._stream_queues: Dict[str, asyncio.Queue] = {}
         self._new_requests: asyncio.Queue = asyncio.Queue()
         self._pending_aborts: queue.SimpleQueue = queue.SimpleQueue()
+        # Multi-host lockstep (pre_step set): admissions/aborts must be
+        # applied locally at the exact point they are broadcast, or a
+        # request arriving mid-burst is scheduled on followers steps before
+        # the primary and the replicated schedulers diverge. The run loop
+        # defers admission to pre_step via this backlog, and _drain_aborts
+        # consumes only the abort set pre_step snapshotted+broadcast.
+        self._admit_backlog: List[SequenceGroup] = []
+        self._abort_snapshot: List[str] = []
         self._stopping = False
         self._patched_tokens = 0
         self._consecutive_failures = 0
@@ -187,12 +195,20 @@ class LlmEngine:
     def _drain_aborts(self) -> None:
         """Apply queued aborts at the top of step() — the only place
         scheduler state is mutated for aborts (single-threaded with the
-        rest of step)."""
-        while True:
-            try:
-                request_id = self._pending_aborts.get_nowait()
-            except queue.Empty:
-                return
+        rest of step). Under lockstep (pre_step set) only the snapshot
+        pre_step broadcast this step is applied; anything newer waits for
+        the next step's broadcast so followers abort in the same step."""
+        if self.pre_step is not None:
+            ids = self._abort_snapshot
+            self._abort_snapshot = []
+        else:
+            ids = []
+            while True:
+                try:
+                    ids.append(self._pending_aborts.get_nowait())
+                except queue.Empty:
+                    break
+        for request_id in ids:
             group = self._groups.get(request_id)
             if group is not None and any(
                 any(sid in rows for _, _, rows in self._async_queue)
@@ -218,10 +234,15 @@ class LlmEngine:
                 group = await self._new_requests.get()
                 if group is None:  # shutdown sentinel
                     break
-                self._scheduler_for(group).add_sequence_group(group)
+                if self.pre_step is None:
+                    self._scheduler_for(group).add_sequence_group(group)
+                else:
+                    # Lockstep: pre_step admits + broadcasts atomically.
+                    self._admit_backlog.append(group)
                 # Batching delay: let more requests arrive (ref :121-124).
                 await asyncio.sleep(IDLE_BATCHING_DELAY_S)
-            self._drain_new_requests()
+            if self.pre_step is None:
+                self._drain_new_requests()
             try:
                 await loop.run_in_executor(None, self._step_burst)
                 self._consecutive_failures = 0
@@ -289,6 +310,7 @@ class LlmEngine:
         return (
             bool(self._pending)
             or bool(self._async_queue)
+            or bool(self._admit_backlog)
             or any(s.has_unfinished_seqs() for s in self.schedulers)
         )
 
@@ -768,6 +790,12 @@ class LlmEngine:
             key=lambda s: s.get_cumulative_logprob(),
             reverse=True,
         )[: getattr(group, "num_return", None) or len(group.sequences)]
+        # Lazy detokenization decodes nothing per-token for plain requests;
+        # natural finishes flush in _postprocess_token, but aborts reach
+        # here with output_text lagging the token ids — catch up now
+        # (finalize is a no-op for already-decoded sequences).
+        for s in seqs:
+            self.detokenizer.finalize_sequence(s)
         result = GenerateRequestOutput(
             request_id=group.request_id,
             inputs=first.prompt,

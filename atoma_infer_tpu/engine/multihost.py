@@ -49,6 +49,9 @@ def serialize_group(group: SequenceGroup) -> Dict[str, Any]:
         "best_of": getattr(group, "best_of", 1),
         "top_n": getattr(group, "top_n_tokens", 0),
         "num_return": getattr(group, "num_return", 1),
+        # Host 0 assigns the pipeline cohort at admission (least-loaded);
+        # followers must mirror it, not recompute it.
+        "cohort": getattr(group, "cohort", 0),
     }
 
 
@@ -73,45 +76,63 @@ def deserialize_group(d: Dict[str, Any], block_size: int) -> SequenceGroup:
         top_n_tokens=d["top_n"],
     )
     group.num_return = d["num_return"]
+    group.cohort = d.get("cohort", 0)
     return group
 
 
 class PrimarySync:
-    """Installed on host 0's engine: broadcast each step's admission delta
-    before the step executes (LlmEngine calls ``pre_step`` at the top of
-    ``step()``)."""
+    """Installed on host 0's engine: ``pre_step`` (called by LlmEngine at
+    the top of every ``step()``) is the SINGLE admission/abort point —
+    it drains the pending-request queue, broadcasts the delta, and applies
+    it locally, atomically from the scheduler's point of view. Buffering
+    the broadcast at ``add_request`` time instead (the earlier design) let
+    a request arriving mid-step-burst reach the followers' schedulers one
+    or more steps before the primary's, breaking the identical-request-
+    stream invariant the replicated schedulers rely on."""
 
     def __init__(self, engine):
         self.engine = engine
-        self._pending: List[Dict[str, Any]] = []
-        self._orig_add = engine.add_request
-
-    def add_request(self, group, response_future=None, stream_queue=None):
-        self._pending.append(serialize_group(group))
-        self._orig_add(group, response_future, stream_queue)
 
     def pre_step(self) -> None:
         from ..parallel.distributed import broadcast_step_payload
 
-        # Aborts ride the same broadcast; drain + re-inject so the local
-        # step applies them in the same order the followers will.
+        engine = self.engine
+        # Requests parked by the run loop's idle path, then anything queued
+        # since (add_request only enqueues; with pre_step installed the run
+        # loop never admits directly — llm_engine.run()).
+        admits = list(engine._admit_backlog)
+        engine._admit_backlog.clear()
+        while True:
+            try:
+                group = engine._new_requests.get_nowait()
+            except Exception:
+                break
+            if group is None:  # shutdown sentinel — leave for the run loop
+                engine._new_requests.put_nowait(None)
+                break
+            admits.append(group)
         aborts: List[str] = []
-        q = self.engine._pending_aborts
+        q = engine._pending_aborts
         while True:
             try:
                 aborts.append(q.get_nowait())
             except Exception:
                 break
-        payload = {"admit": self._pending, "aborts": aborts, "stop": False}
-        self._pending = []
+        payload = {
+            "admit": [serialize_group(g) for g in admits],
+            "aborts": aborts,
+            "stop": False,
+        }
         broadcast_step_payload(payload)
-        for rid in aborts:
-            q.put(rid)
+        for group in admits:
+            engine._scheduler_for(group).add_sequence_group(group)
+        # step()'s _drain_aborts consumes exactly this snapshot; aborts
+        # arriving after this point wait for the next step's broadcast.
+        engine._abort_snapshot.extend(aborts)
 
 
 def attach_primary(service) -> PrimarySync:
     sync = PrimarySync(service.engine)
-    service.engine.add_request = sync.add_request
     service.engine.pre_step = sync.pre_step
     return sync
 

@@ -41,6 +41,8 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.abm_append_slot.argtypes = [c.c_void_p, c.c_int64, c.c_int, i32p]
     lib.abm_fork.restype = c.c_int
     lib.abm_fork.argtypes = [c.c_void_p, c.c_int64, c.c_int64]
+    lib.abm_last_block_shared.restype = c.c_int
+    lib.abm_last_block_shared.argtypes = [c.c_void_p, c.c_int64]
     lib.abm_can_swap_in.restype = c.c_int
     lib.abm_can_swap_in.argtypes = [c.c_void_p, i64p, c.c_int, c.c_int]
     lib.abm_swap_in.restype = c.c_int

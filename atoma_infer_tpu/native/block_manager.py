@@ -207,6 +207,12 @@ class NativeBlockSpaceManager:
     def has_block_table(self, seq: Sequence) -> bool:
         return bool(self._lib.abm_has_table(self._h, seq.seq_id))
 
+    def last_block_shared(self, seq_id: int) -> bool:
+        """True if the sequence's last physical block is shared (forked) —
+        the next mid-block append will copy-on-write, consuming one free
+        block (scheduler decode fast-path demand precheck)."""
+        return bool(self._lib.abm_last_block_shared(self._h, seq_id))
+
     def get_block_table_ids(self, seq_id: int) -> List[int]:
         n = self._lib.abm_get_table(
             self._h, seq_id, self._table_buf, len(self._table_buf)

@@ -218,6 +218,7 @@ def main() -> None:
     _le.IDLE_BATCHING_DELAY_S = 0.5
 
     rng = np.random.default_rng(0)
+    measure_t0 = 0.0  # set by go() after warmup; scopes the steady median
 
     async def wave(tag: str, max_new: int):
         futs = []
@@ -259,6 +260,11 @@ def main() -> None:
 
         gc.collect()
         gc.freeze()
+        # Steady-median scope marker: only engine.step spans starting after
+        # this belong to the measured wave (the tracing ring also holds the
+        # warmup waves' spans).
+        nonlocal measure_t0
+        measure_t0 = time.monotonic()
         results = await wave("r", N)
         service.stop()
         task.cancel()
@@ -295,19 +301,25 @@ def main() -> None:
 
     tokens = sum(len(r.outputs[0].token_ids) for r in results)
     assert tokens == S * N, (tokens, S * N)
-    # Steady-state decode: median engine.step over the measured wave's
-    # sub-second steps (a residual program compile/reload in the window —
-    # chunked prefill walks many shapes — otherwise pollutes the windowed
-    # average; the median is the sustained-serving number).
+    # Steady-state decode: median engine.step over the MEASURED wave's
+    # sub-second steps — spans are filtered by start time to exclude the
+    # warmup waves sharing the tracing ring, and the count of excluded
+    # ≥1 s steps (executable reloads / residual compiles) is reported
+    # rather than silently dropped.
     steady_ms = None
+    steady_excluded = None
     if os.environ.get("ATOMA_TRACE"):
         from atoma_infer_tpu.utils import tracing as _tr
 
-        ds = sorted(
-            r.duration_ms
+        wave_spans = [
+            r
             for r in _tr.recent_spans("engine.step")
-            if r.duration_ms < 1000
+            if r.start_s >= measure_t0
+        ]
+        ds = sorted(
+            r.duration_ms for r in wave_spans if r.duration_ms < 1000
         )
+        steady_excluded = len(wave_spans) - len(ds)
         if ds:
             steady_ms = round(ds[len(ds) // 2], 2)
     # Steady-state decode: every sequence's first token comes out of the
@@ -343,6 +355,7 @@ def main() -> None:
                 "max_new": N,
                 "decode_ms_per_step": round(1000 * decode_s / (N - 1), 2),
                 "steady_decode_ms_median": steady_ms,
+                "steady_steps_excluded_ge_1s": steady_excluded,
                 "steady_tokens_per_sec": (
                     round(1000.0 * S / steady_ms, 1) if steady_ms else None
                 ),

@@ -260,6 +260,16 @@ int abm_append_slot(void* p, int64_t seq_id, int num_logical_blocks,
   return 1;
 }
 
+// 1 if the sequence's last physical block is shared (ref_count > 1), i.e.
+// the next single-token append will copy-on-write and consume a free block.
+// Used by the scheduler's decode fast-path block-demand precheck.
+int abm_last_block_shared(void* p, int64_t seq_id) {
+  auto* m = static_cast<Manager*>(p);
+  auto it = m->tables.find(seq_id);
+  if (it == m->tables.end() || it->second.empty()) return 0;
+  return m->at(it->second.back()).ref_count > 1 ? 1 : 0;
+}
+
 int abm_fork(void* p, int64_t parent, int64_t child) {
   auto* m = static_cast<Manager*>(p);
   auto it = m->tables.find(parent);

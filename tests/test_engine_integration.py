@@ -207,6 +207,11 @@ class TestEngineIntegration:
         aborted, r = run(scenario())
         assert aborted
         assert r.outputs[0].finish_reason == "aborted"
+        # Lazy detokenization (plain request: no stream, no stop strings)
+        # decodes nothing per token; the abort path must still return the
+        # partial text for the tokens generated so far (ADVICE r4).
+        if r.outputs[0].token_ids:
+            assert r.outputs[0].output_text
 
 
 class TestInt8KvService:

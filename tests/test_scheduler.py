@@ -392,6 +392,28 @@ def test_cow_propagated_in_outputs():
     assert out.blocks_to_copy  # CoW pair emitted for the shared last block
 
 
+def test_decode_fast_path_counts_cow_demand():
+    """ADVICE r4: a forked group mid-block with a shared last block and a
+    full pool must fall back to the full pass (which preempts cleanly)
+    instead of letting append_slots raise mid-loop after some tables were
+    already mutated."""
+    sched = make_scheduler(num_device_blocks=1)
+    parent, group = create_dummy_prompt("r0", BLOCK_SIZE - 4, best_of=2)
+    sched.add_sequence_group(group)
+    sched.schedule()  # prefill takes the only device block
+    group.update_num_computed_tokens(BLOCK_SIZE - 4)
+    (child,) = fork_group(group, parent, 1)
+    child.status = SequenceStatus.RUNNING
+    sched.fork_seq(parent, child)
+    append_decode_token(group)
+    assert sched.block_manager.get_num_free_device_blocks() == 0
+    # Mid-block append (no boundary) + shared last block → CoW demand 1
+    # per seq; the fast path must decline so the full pass can preempt.
+    _, out = sched.schedule()
+    assert out.preempted >= 1 or sched.swapped
+    assert not sched.running  # no half-mutated running set left behind
+
+
 def test_delay_factor_waits_for_queue_fill():
     sched = make_scheduler(delay_factor=100.0)
     sched.last_prompt_latency = 10.0
