@@ -159,6 +159,33 @@ def main() -> None:
         )
         out["spec_proposed"] = proposed
 
+        # Second workload: REPETITIVE prompts — n-gram prompt-lookup's
+        # design case (continuations echo prompt patterns, e.g. structured
+        # extraction/summarization). Reported separately: acceptance is
+        # workload-dependent (BASELINE.md 5a treats it as the independent
+        # variable); these two workloads bracket it with real measurements.
+        repetitive = [
+            "The capital of France is Paris.\n"
+            "The capital of Japan is Tokyo.\n"
+            "The capital of Italy is Rome.\n"
+            "The capital of Spain is",
+            "Every morning the fox walked to the river to look for bread.\n"
+            "Every morning the bird walked to the market to look for "
+            "apples.\nEvery morning the fox walked to",
+        ]
+        # generate() stops its service at the end of the wave — build a
+        # fresh one for the second workload.
+        service2, _, _ = build_service(args.model_dir, spec_tokens=4)
+        rep_results = generate(service2, repetitive, args.max_new)
+        out["repetitive_completions"] = [
+            r.outputs[0].output_text for r in rep_results
+        ]
+        d_prop = metrics.SPEC_PROPOSED.value - proposed
+        d_acc = metrics.SPEC_ACCEPTED.value - accepted
+        out["spec_acceptance_repetitive"] = (
+            round(d_acc / d_prop, 3) if d_prop else None
+        )
+
     if args.hf_parity:
         import numpy as np
         import torch
