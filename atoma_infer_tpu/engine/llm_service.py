@@ -454,6 +454,68 @@ class LlmService:
             return future, queue
         return future
 
+    # ----------------------------------------------------------------- warmup
+    async def warmup(
+        self,
+        *,
+        num_seqs: Optional[int] = None,
+        prompt_len: int = 64,
+        max_new: Optional[int] = None,
+        waves: int = 2,
+    ) -> float:
+        """Pre-compile and pre-load the serving executables before traffic.
+
+        XLA compiles one program per bucket shape, and remote TPU runtimes
+        additionally LOAD each executable on first dispatch (tens of seconds
+        per program through a tunneled runtime) — without this, those stalls
+        land on the first real requests (the serving analog of the
+        reference's two-phase profile-then-serve startup,
+        /root/reference/backends/vllm/src/llm_service.rs:116-245). Drives
+        ``waves`` synthetic request waves through the FULL engine at the
+        configured steady-state shapes: the max-batch prefill and decode
+        buckets, block-boundary table refresh, sampling and detokenize.
+        Two waves by default — the second wave's prefill consumes
+        step-output KV buffers whose layouts key a retrace the first wave
+        cannot reach (see benchmarks/engine_decode_bench.py).
+
+        Call with the engine loop running (``asyncio.create_task(
+        service.engine.run())``). Returns the wall seconds spent.
+        """
+        import time as _time
+
+        import numpy as np
+
+        from ..types import GenerateParameters, GenerateRequest
+
+        S = num_seqs or self.config.scheduler.max_num_sequences
+        # Cross at least one block boundary so the decode fast path's
+        # table-refresh branch compiles/warms too.
+        N = max_new or (self.block_size + 2)
+        rng = np.random.default_rng(0)
+        t0 = _time.monotonic()
+        for wave in range(waves):
+            futs = []
+            for i in range(S):
+                body = bytes(
+                    rng.integers(32, 127, size=prompt_len, dtype=np.uint8)
+                ).decode("latin-1")
+                futs.append(
+                    await self.handle_request(
+                        GenerateRequest(
+                            request_id=f"_warmup-{wave}-{i}",
+                            inputs=body,
+                            parameters=GenerateParameters(max_new_tokens=N),
+                        )
+                    )
+                )
+            await asyncio.gather(*futs)
+        dt = _time.monotonic() - t0
+        logger.info(
+            "warmup: %d waves x %d seqs x %d tokens in %.1fs",
+            waves, S, N, dt,
+        )
+        return dt
+
     # ---------------------------------------------------------------- shutdown
     def stop(self) -> None:
         """Graceful shutdown (ref: llm_service.rs:404-442)."""

@@ -28,6 +28,13 @@ def main() -> None:
         "--port", type=int, default=int(os.environ.get("SERVER_PORT", "8080"))
     )
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="pre-compile/pre-load the serving executables (synthetic "
+        "request waves at the configured bucket shapes) before binding "
+        "the listener — avoids tens-of-seconds first-dispatch stalls on "
+        "remote TPU runtimes (LlmService.warmup)",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     args = parser.parse_args()
 
@@ -49,7 +56,7 @@ def main() -> None:
         config.model.model_name = args.model
 
     service = LlmService.start(config)
-    run_server(service, host=args.host, port=args.port)
+    run_server(service, host=args.host, port=args.port, warmup=args.warmup)
 
 
 if __name__ == "__main__":

@@ -257,7 +257,7 @@ _OPENAPI_SPEC = {
 }
 
 
-def build_app(service: LlmService) -> web.Application:
+def build_app(service: LlmService, warmup: bool = False) -> web.Application:
     app = web.Application()
     app["service"] = service
     app.router.add_post("/v1/chat/completions", completion_handler)
@@ -271,6 +271,13 @@ def build_app(service: LlmService) -> web.Application:
 
     async def start_engine(app):
         app["engine_task"] = asyncio.create_task(service.engine.run())
+        if warmup:
+            # Pre-compile/pre-load the serving executables before taking
+            # traffic (remote runtimes stall tens of seconds per program on
+            # first dispatch; see LlmService.warmup). Runs during startup —
+            # aiohttp binds the listener after on_startup completes, so the
+            # first real request never eats the stall.
+            await service.warmup()
 
     async def stop_engine(app):
         service.stop()
@@ -288,11 +295,14 @@ def build_app(service: LlmService) -> web.Application:
 
 
 def run_server(
-    service: LlmService, host: str = "0.0.0.0", port: int = 8080
+    service: LlmService,
+    host: str = "0.0.0.0",
+    port: int = 8080,
+    warmup: bool = False,
 ) -> None:
     """Serve until SIGINT (ref: main.rs:69 → server.rs:120-162)."""
     web.run_app(
-        build_app(service),
+        build_app(service, warmup=warmup),
         host=host,
         port=port,
         shutdown_timeout=GRACEFUL_SHUTDOWN_TIMEOUT_S,
