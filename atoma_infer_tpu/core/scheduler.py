@@ -874,6 +874,9 @@ class Scheduler:
     ) -> PreemptionMode:
         """Recompute single-seq groups, swap multi-seq/beam groups
         (ref: scheduler.rs:1778-1826)."""
+        from ..server import metrics
+
+        metrics.PREEMPTIONS.inc()
         if group.get_max_num_running_seqs() == 1:
             mode = PreemptionMode.RECOMPUTE
         else:

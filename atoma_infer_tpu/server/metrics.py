@@ -139,6 +139,10 @@ RUNNING_SEQS = REGISTRY.gauge(
 GENERATED_TOKENS = REGISTRY.counter(
     "engine_generated_tokens_total", "Total generated tokens"
 )
+PREEMPTIONS = REGISTRY.counter(
+    "scheduler_preemptions_total",
+    "Sequence groups preempted (recompute or swap) under memory pressure",
+)
 SPEC_PROPOSED = REGISTRY.counter(
     "engine_spec_tokens_proposed_total",
     "Speculative tokens drafted (engine/spec_decode.py)",
