@@ -106,15 +106,17 @@ def _pallas_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
     models fall back to the XLA path."""
     T, Hq, D = q.shape
     row = kv_cache.shape[2]
-    min_bs = 32 if kv_cache.dtype == jnp.int8 else 8
+    min_bs = 32 if jnp.dtype(kv_cache.dtype).itemsize == 1 else 8
     return (
         (Hq * D) % 128 == 0
         and row % 128 == 0
         and meta.block_size % min_bs == 0
         and T % 8 == 0
-        # Mosaic has no fp8 vector ops on v5e — fp8 caches take the XLA
-        # path (int8-with-scales is the fused-kernel option).
-        and kv_cache.dtype in (jnp.bfloat16, jnp.float32, jnp.int8)
+        # Mosaic has no fp8 vector ops on v5e, but e4m3 pages ride the
+        # int8 byte machinery: bitcast at the kernel boundary + VPU
+        # float-arithmetic byte decode (paged_attention._e4m3_decode).
+        and kv_cache.dtype
+        in (jnp.bfloat16, jnp.float32, jnp.int8, jnp.float8_e4m3fn)
     )
 
 
@@ -122,7 +124,7 @@ def _fused_supported(q, kv_cache, meta: "AttentionMetadata") -> bool:
     """Fused decode write+attend: pure-decode batch, Pallas-compatible
     shapes, and pages divisible into write-back windows (16 rows bf16,
     32 rows int8)."""
-    wb = 32 if kv_cache.dtype == jnp.int8 else 16
+    wb = 32 if jnp.dtype(kv_cache.dtype).itemsize == 1 else 16
     return (
         meta.decode_only
         and _use_pallas()

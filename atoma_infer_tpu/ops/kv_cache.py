@@ -66,9 +66,13 @@ def _dropped_pad(indices: jnp.ndarray) -> jnp.ndarray:
 
 def kv_rows(k_new: jnp.ndarray, v_new: jnp.ndarray, dtype) -> jnp.ndarray:
     """[T, Hk, D] K and V → fused rows [T, 2·Hk·D], head-interleaved
-    (``[K_h0 | V_h0 | K_h1 | V_h1 | …]``)."""
+    (``[K_h0 | V_h0 | K_h1 | V_h1 | …]``). FP8 (e4m3fn) rows are clipped
+    to ±448 first: XLA's overflow convert yields NaN bytes, which the
+    in-kernel byte decoder has no representation for."""
     T, hk, d = k_new.shape
     stacked = jnp.stack([k_new, v_new], axis=2)  # [T, Hk, 2, D]
+    if dtype == jnp.float8_e4m3fn:
+        stacked = jnp.clip(stacked.astype(jnp.float32), -448.0, 448.0)
     return stacked.reshape(T, 2 * hk * d).astype(dtype)
 
 

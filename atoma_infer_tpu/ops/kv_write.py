@@ -128,6 +128,12 @@ def write_kv_cache_pallas(
     num_pages, bs, R = kv_cache.shape
     T = k_new.shape[0]
     kvn = kv_rows(k_new, v_new, kv_cache.dtype)
+    # FP8 pages ride the kernel as raw bytes (Mosaic has no fp8 vector
+    # ops on v5e): bitcast in, bitcast the aliased result back out.
+    fp8 = kv_cache.dtype == jnp.float8_e4m3fn
+    if fp8:
+        kv_cache = jax.lax.bitcast_convert_type(kv_cache, jnp.int8)
+        kvn = jax.lax.bitcast_convert_type(kvn, jnp.int8)
     # Pad rows to the sublane tile so aligned window reads stay in bounds.
     pad = (-T) % 16
     if pad:
@@ -172,4 +178,6 @@ def write_kv_cache_pallas(
             has_side_effects=True,
         ),
     )(page_ids, kvn, src_idx, kv_cache)
+    if fp8:
+        out = jax.lax.bitcast_convert_type(out, jnp.float8_e4m3fn)
     return out

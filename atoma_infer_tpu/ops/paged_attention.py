@@ -60,6 +60,30 @@ SC_SUB = 16  # scale-page write-back window rows (bf16 sublane tile)
 # lookahead. Env-tunable for perf A/B (read at trace time).
 RING_BUFFERS = int(os.environ.get("ATOMA_ATTN_RING", "4"))
 
+_LN2 = 0.6931471805599453
+
+
+def _e4m3_decode(b: jnp.ndarray, out_dtype) -> jnp.ndarray:
+    """Decode raw float8_e4m3fn BYTES (int8 view) to float on the VPU.
+
+    Mosaic on v5e has no fp8 vector ops, no 8-bit shifts/compares, and no
+    16-bit-int bitcasts — so the decode runs entirely in float arithmetic
+    after one int8→f32 convert (~12 VPU ops/element): unpack
+    sign/exponent/mantissa by floor-division and rebuild the value as
+    ``(m + 8·[e>0]) · 2^(max(e,1)−10)`` (which unifies the normal
+    ``(8+m)·2^(e−10)`` and subnormal ``m·2^−9`` cases). e4m3fn's NaN byte
+    (0x7F/0xFF) decodes to ±480 — the engine's quantize path clips to
+    ±448 so NaN bytes never occur in the cache."""
+    bf = b.astype(jnp.float32)                      # −128..127, exact
+    u = jnp.where(bf < 0, bf + 256.0, bf)           # unsigned byte value
+    s = jnp.floor(u * (1.0 / 128.0))                # sign bit
+    r = u - 128.0 * s
+    e = jnp.floor(r * 0.125)                        # 4-bit exponent
+    m = r - 8.0 * e                                 # 3-bit mantissa
+    t = m + 8.0 * jnp.minimum(e, 1.0)
+    mag = t * jnp.exp((jnp.maximum(e, 1.0) - 10.0) * _LN2)
+    return ((1.0 - 2.0 * s) * mag).astype(out_dtype)
+
 
 def _pick_block_q(num_tokens: int, num_seq_slots: int) -> int:
     # Decode-dominated batches (≈1 query/seq): narrow entries avoid
@@ -160,6 +184,7 @@ def _kernel(
     single_chunk: bool,
     quant: bool,
     quant_mxu: bool,
+    fp8: bool,
     alibi: bool,
     wb_sub: int,
     qo_vmem: bool,
@@ -419,6 +444,9 @@ def _kernel(
         [GBQ, CHUNK] blocks."""
         m, l, acc = carry  # [HGBQ, 1], [HGBQ, 1], [HGBQ, D]
         kv_all = kv_vmem[slot].reshape(CHUNK, 2 * Hk * D)
+        if fp8:
+            # e4m3 bytes → bf16 on the VPU before the dots (scale-free).
+            kv_all = _e4m3_decode(kv_all, qblk_vmem.dtype)
         if quant:
             # Raw int8 chunk rows feed the MXU; scales apply post-dot (see
             # scale_rows). K scale lands on the scores, V scale folds into
@@ -482,6 +510,9 @@ def _kernel(
     def attend_chunk(q_all, slot, j, carry, pos=pos, kv_len=kv_len):
         """Online-softmax update of (m, l, acc) per kv head over one chunk."""
         kv_all = kv_vmem[slot].reshape(CHUNK, 2 * Hk * D)
+        if fp8:
+            # e4m3 bytes → bf16 on the VPU before the dots (scale-free).
+            kv_all = _e4m3_decode(kv_all, q_all.dtype)
         col = j * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
         mask = (col <= pos) & (col < kv_len)  # [G·BQ, CHUNK]
         if sliding_window is not None:
@@ -754,7 +785,17 @@ def _paged_attention_call(
     P = meta.block_tables.shape[1]
     bs = meta.block_size
     quant = kv_scales is not None
-    wbs = WB_SUB_I8 if kv_cache.dtype == jnp.int8 else WB_SUB
+    # FP8 (e4m3) caches ride the byte-page machinery: bitcast to int8 at
+    # the kernel boundary (a free XLA bitcast — no copy, alias-preserving)
+    # and decode bytes→bf16 on the VPU inside the kernel (_e4m3_decode).
+    # Scale-free, so none of the int8 scale-page plumbing engages.
+    fp8 = kv_cache.dtype == jnp.float8_e4m3fn
+    if fp8:
+        assert kv_scales is None, "fp8 KV is scale-free"
+        kv_cache = jax.lax.bitcast_convert_type(kv_cache, jnp.int8)
+        if kvn is not None:
+            kvn = jax.lax.bitcast_convert_type(kvn, jnp.int8)
+    wbs = WB_SUB_I8 if jnp.dtype(kv_cache.dtype).itemsize == 1 else WB_SUB
     BQ = block_q or _pick_block_q(T, S)
     # Narrow (decode) blocks take the largest chunk the VMEM ring budget
     # allows, up to 1024 rows (multi-chunk decode at ctx 2k-8k measured ~7×
@@ -955,6 +996,7 @@ def _paged_attention_call(
         # Mixed bf16xint8 MXU dots are TPU-only (interpret mode rejects
         # mixed-dtype dot_general).
         quant_mxu=quant and not interpret,
+        fp8=fp8,
         alibi=alibi,
         wb_sub=wbs,
         qo_vmem=qo_vmem,
@@ -1006,6 +1048,10 @@ def _paged_attention_call(
     qoff = t - qsl[s_t]
     ent = jnp.clip(offs[s_t] + qoff // BQ, 0, W - 1)
     out = out_entries[ent, qoff % BQ].reshape(T, Hq, D)
+    if fp8:
+        new_cache = jax.lax.bitcast_convert_type(
+            new_cache, jnp.float8_e4m3fn
+        )
     return out, new_cache, new_scales
 
 
@@ -1064,7 +1110,8 @@ def ragged_paged_attention_fused(
     ``block_size % 16 == 0``. Returns (out [T, Hq, D], updated kv_cache)."""
     from .kv_cache import kv_rows
 
-    assert meta.block_size % WB_SUB == 0
+    wb = WB_SUB_I8 if jnp.dtype(kv_cache.dtype).itemsize == 1 else WB_SUB
+    assert meta.block_size % wb == 0
     kvn = kv_rows(k_new, v_new, kv_cache.dtype)
     out, new_cache, _ = _paged_attention_call(
         q,

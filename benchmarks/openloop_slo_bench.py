@@ -132,9 +132,11 @@ def main() -> None:
     tier_w = np.asarray([w for _, w in PROMPT_TIERS])
     tier_w = tier_w / tier_w.sum()
 
-    async def one_request(session, rid):
-        plen = int(rng.choice(tier_lens, p=tier_w))
-        max_new = int(rng.integers(MAX_NEW[0], MAX_NEW[1] + 1))
+    async def one_request(session, rid, plen=None, max_new=None):
+        if plen is None:
+            plen = int(rng.choice(tier_lens, p=tier_w))
+        if max_new is None:
+            max_new = int(rng.integers(MAX_NEW[0], MAX_NEW[1] + 1))
         body = {
             "model": "llama-1b-shapes",
             "max_tokens": max_new,
@@ -220,9 +222,40 @@ def main() -> None:
         site = web.TCPSite(runner, "127.0.0.1", args.port)
         await site.start()
         points = []
-        async with ClientSession() as session:
-            # Warmup: compile/load the bucket set outside the measurements.
+        # No client timeout: on the remote TPU runtime, first-dispatch
+        # compiles/executable loads run minutes — the default 300 s
+        # aiohttp timeout silently turned every warm-up-era request into
+        # a client abort (0 completions measured).
+        import aiohttp
+
+        async with ClientSession(
+            timeout=aiohttp.ClientTimeout(total=None)
+        ) as session:
+            # Warmup 1: max-batch decode buckets through the engine.
             await service.warmup(num_seqs=min(S, 64), prompt_len=64)
+            # Warmup 2: the HTTP-path shape set this workload actually
+            # hits — every prompt tier at full concurrency (chunked
+            # prefill chunks, mixed prefill+decode buckets, preemption/
+            # swap programs under the undersized pool). Two waves: the
+            # second consumes step-output KV layouts (retrace key).
+            t_w = time.monotonic()
+            for wave in range(2):
+                warm = [
+                    asyncio.create_task(
+                        one_request(
+                            session, f"w{wave}-{i}",
+                            plen=tier_lens[i % len(tier_lens)],
+                            max_new=MAX_NEW[1] if i % 2 else MAX_NEW[0],
+                        )
+                    )
+                    for i in range(S)
+                ]
+                done = [r for r in await asyncio.gather(*warm) if r]
+                print(
+                    f"# http shape warmup wave {wave}: {len(done)}/{S} ok,"
+                    f" {time.monotonic() - t_w:.0f}s elapsed",
+                    file=sys.stderr, flush=True,
+                )
             for rate in args.rates:
                 points.append(await load_point(session, rate))
                 print(f"# {json.dumps(points[-1])}", file=sys.stderr)

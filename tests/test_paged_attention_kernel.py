@@ -677,3 +677,107 @@ class TestHeadFusedDecode:
         )
         assert_close(got, want, qsl)
         np.testing.assert_array_equal(new_cache, want_cache)
+
+
+class TestFp8KVKernel:
+    """FP8 (e4m3fn) KV-cache through the Pallas kernel: pages ride the int8
+    byte machinery (bitcast at the kernel boundary) and are decoded to float
+    in-kernel by VPU float arithmetic (paged_attention._e4m3_decode).
+    Scale-free — BASELINE.json north star "INT8/FP8 KV-cache blocks ...
+    dequant inside the paged-attention kernel"."""
+
+    def _make_fp8(self, rng, specs, **kw):
+        q, kv, meta = make_case(
+            rng, seq_specs=specs, block_size=32, **kw
+        )
+        return q, kv.astype(jnp.float8_e4m3fn), meta
+
+    def test_e4m3_decode_exact_all_bytes(self):
+        """The in-kernel byte decoder matches the e4m3fn format for every
+        non-NaN byte value."""
+        import ml_dtypes
+
+        from atoma_infer_tpu.ops.paged_attention import _e4m3_decode
+
+        b = np.arange(256, dtype=np.uint8)
+        truth = b.view(ml_dtypes.float8_e4m3fn).astype(np.float32)
+        got = np.asarray(
+            _e4m3_decode(jnp.asarray(b.view(np.int8)), jnp.float32)
+        )
+        keep = ~np.isnan(truth)
+        np.testing.assert_array_equal(got[keep], truth[keep])
+
+    def test_fp8_decode_batch(self):
+        rng = np.random.default_rng(50)
+        specs = [(1, kv) for kv in (1, 5, 31, 33, 64, 128)]
+        q, kv, meta = self._make_fp8(rng, specs, pad_seqs_to=8)
+        got, want = run_both(q, kv, meta)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_fp8_prefill_and_mixed(self):
+        rng = np.random.default_rng(51)
+        q, kv, meta = self._make_fp8(
+            rng, [(40, 40), (1, 70), (8, 24)], num_blocks=16
+        )
+        got, want = run_both(q, kv, meta)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_fp8_long_kv_multi_chunk(self):
+        rng = np.random.default_rng(52)
+        q, kv, meta = self._make_fp8(
+            rng, [(1, 1000), (1, 600)], num_blocks=64
+        )
+        got, want = run_both(q, kv, meta, pages_per_chunk=4)
+        assert_close(got, want, meta.query_start_loc)
+
+    def test_fp8_fused_decode_write(self):
+        """Fused write+attend on an fp8 cache: the staged e4m3 bytes are
+        patched into loaded chunks and written back; cache matches the
+        XLA scatter path byte-for-byte."""
+        import dataclasses
+
+        from atoma_infer_tpu.ops.kv_cache import kv_cache_view, write_kv_cache
+        from atoma_infer_tpu.ops.paged_attention import (
+            ragged_paged_attention_fused,
+        )
+
+        rng = np.random.default_rng(53)
+        block_size, head_dim = 32, 64
+        specs = [(1, kv) for kv in (1, 32, 33, 64, 95, 128)]
+        q, kv, meta = self._make_fp8(
+            rng, specs, pad_seqs_to=8, num_blocks=32
+        )
+        T = q.shape[0]
+        slots = np.full((T,), -1, np.int32)
+        tables = np.asarray(meta.block_tables)
+        lens = np.asarray(meta.seq_lens)
+        qsl = np.asarray(meta.query_start_loc)
+        for s in range(len(specs)):
+            pos = lens[s] - 1
+            slots[qsl[s]] = tables[s, pos // block_size] * block_size + (
+                pos % block_size
+            )
+        meta = dataclasses.replace(
+            meta, slot_mapping=jnp.asarray(slots), decode_only=True
+        )
+        k_new = jnp.asarray(rng.standard_normal((T, 4, head_dim)), jnp.float32)
+        v_new = jnp.asarray(rng.standard_normal((T, 4, head_dim)), jnp.float32)
+        scale = head_dim**-0.5
+
+        want_cache = write_kv_cache(kv, k_new, v_new, meta.slot_mapping)
+        k_view, v_view = kv_cache_view(want_cache, 4, head_dim)
+        want = np.asarray(
+            ragged_paged_attention_xla(
+                q, k_view, v_view, meta.block_tables, meta.seq_lens,
+                meta.query_start_loc, scale=scale,
+                block_size=meta.block_size,
+            )
+        )
+        got, new_cache = ragged_paged_attention_fused(
+            q, kv, k_new, v_new, meta, scale=scale, interpret=True
+        )
+        assert_close(np.asarray(got), want, qsl)
+        np.testing.assert_array_equal(
+            np.asarray(new_cache).view(np.uint8),
+            np.asarray(want_cache).view(np.uint8),
+        )

@@ -13,6 +13,8 @@ tools/train_tiny_model.py (real text, peaked logits, self-consistent greedy):
     int8+w8a8 — + dynamic per-token INT8 activations (ATOMA_W8A8)
     int4      — weight-only INT4
     kv8       — bf16 weights + INT8 KV pages (fused quantize/write/attend)
+    kvfp8     — bf16 weights + FP8 (e4m3, scale-free) KV pages decoded
+                inside the Pallas kernel
     int8+kv8  — the full shipping config #3
   per variant: mean/max |Δ logprob of the reference-chosen token| and
   greedy token agreement vs the reference.
@@ -106,8 +108,8 @@ def main() -> None:
 
     tables_np = np.asarray(tables)
 
-    def fresh_cache(quant_kv: bool):
-        if quant_kv:
+    def fresh_cache(quant_kv):
+        if quant_kv == "int8":
             kv = tuple(
                 jnp.zeros((num_blocks, bs_, row), jnp.int8) for _ in range(L)
             )
@@ -116,9 +118,11 @@ def main() -> None:
                 for _ in range(L)
             )
             return kv, sc
+        kv_dtype = jnp.float8_e4m3fn if quant_kv == "fp8" else dtype
         return (
             tuple(
-                jnp.zeros((num_blocks, bs_, row), dtype) for _ in range(L)
+                jnp.zeros((num_blocks, bs_, row), kv_dtype)
+                for _ in range(L)
             ),
             None,
         )
@@ -145,15 +149,17 @@ def main() -> None:
             jnp.full((S,), kv_len + 1, jnp.int32),
         )
 
-    def make_fns(quant_kv: bool):
+    def make_fns(quant_kv):
+        scaled = quant_kv == "int8"
+
         @jax.jit
         def prefill(p, kv_cache, kv_scales, tokens):
             out = model.forward(
                 p, tokens, prefill_positions, kv_cache, prefill_meta,
-                kv_scales=kv_scales if quant_kv else None,
+                kv_scales=kv_scales if scaled else None,
             )
             hidden, kv_cache = out[0], out[1]
-            kv_scales = out[2] if quant_kv else None
+            kv_scales = out[2] if scaled else None
             logits = model.compute_logits(p, hidden[last_rows])
             lps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return (
@@ -174,10 +180,10 @@ def main() -> None:
             )
             out = model.forward(
                 p, tokens, pos, kv_cache, meta,
-                kv_scales=kv_scales if quant_kv else None,
+                kv_scales=kv_scales if scaled else None,
             )
             hidden, kv_cache = out[0], out[1]
-            kv_scales = out[2] if quant_kv else None
+            kv_scales = out[2] if scaled else None
             logits = model.compute_logits(p, hidden)
             lps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             return (
@@ -187,7 +193,7 @@ def main() -> None:
 
         return prefill, decode
 
-    def run_variant(quant, w8a8: bool, quant_kv: bool, teacher=None):
+    def run_variant(quant, w8a8: bool, quant_kv, teacher=None):
         """Prefill + N decode steps; returns (greedy_toks, logprobs) stacked
         [steps+1, S(, V)] — row 0 is the prefill's next-token prediction."""
         quant_kernels._W8A8 = w8a8
@@ -228,8 +234,9 @@ def main() -> None:
         "int8": ("int8", False, False),
         "int8_w8a8": ("int8", True, False),
         "int4": ("int4", False, False),
-        "kv8": (None, False, True),
-        "int8_kv8": ("int8", False, True),
+        "kv8": (None, False, "int8"),
+        "kvfp8": (None, False, "fp8"),
+        "int8_kv8": ("int8", False, "int8"),
     }
     report = {}
     for name, (q, w8a8, qkv) in variants.items():
