@@ -108,21 +108,39 @@ def decode_payload(buf: np.ndarray) -> Any:
 def broadcast_step_payload(obj: Any = None) -> Any:
     """Host 0's ``obj`` → every host (host 0 passes the value, others None).
 
-    Single-process: pure passthrough (no device traffic)."""
+    Single-process: pure passthrough (no device traffic).
+
+    The steady-decode delta (no admissions, no aborts) fits the smallest
+    bucket, so the common case is ONE broadcast: the first-bucket buffer
+    IS the payload (its inline size prefix is non-negative). Payloads that
+    overflow send a first-bucket header whose size field is the NEGATED
+    target bucket, and the full bucket follows in a second broadcast —
+    the earlier always-two-phase design (size class, then buffer) doubled
+    the per-step lockstep tax (measured 2.19 ms → see
+    benchmarks/multihost_sync_bench.py)."""
     import jax
 
     if jax.process_count() == 1:
         return obj
     from jax.experimental import multihost_utils
 
-    buf = encode_payload(obj) if is_primary() else np.zeros(
-        (_BUCKETS[0],), np.uint8
-    )
-    # All hosts must agree on the bucket: broadcast the size class first.
-    size_cls = multihost_utils.broadcast_one_to_all(
-        np.int32(len(buf))
-    )
-    if int(size_cls) != len(buf):
-        buf = np.zeros((int(size_cls),), np.uint8)
-    out = multihost_utils.broadcast_one_to_all(buf)
+    B0 = _BUCKETS[0]
+    buf = None
+    if is_primary():
+        buf = encode_payload(obj)
+        if len(buf) <= B0:
+            first = buf
+        else:
+            first = np.zeros((B0,), np.uint8)
+            first[:8] = np.frombuffer(
+                np.int64(-len(buf)).tobytes(), np.uint8
+            )
+    else:
+        first = np.zeros((B0,), np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(first))
+    size = int(np.frombuffer(bytes(out[:8]), np.int64)[0])
+    if size >= 0:
+        return decode_payload(out)
+    big = buf if is_primary() else np.zeros((-size,), np.uint8)
+    out = multihost_utils.broadcast_one_to_all(big)
     return decode_payload(np.asarray(out))
