@@ -30,9 +30,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def _int8_params(cfg):
-    """Random INT8 weights (int8_decode_bench parity — perf depends only on
-    shapes): stacked [L, K, N] per-projection tensors with grouped scales."""
+def _int8_params(cfg, bits=8):
+    """Random INT8/INT4 weights (int8_decode_bench parity — perf depends
+    only on shapes): stacked [L, K, N] per-projection tensors with grouped
+    scales (INT4 packs two nibbles per int8 row)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,11 +44,14 @@ def _int8_params(cfg):
 
     def rand_q(key, shape_in, shape_out):
         k1, _ = jax.random.split(jax.random.PRNGKey(key))
+        rows = shape_in // 2 if bits == 4 else shape_in
         qw = jax.random.randint(
-            k1, (L, shape_in, shape_out), -127, 127, jnp.int8
+            k1, (L, rows, shape_out), -127, 127, jnp.int8
         )
         scales = jnp.full((L, shape_in // G, shape_out), 0.01, jnp.bfloat16)
-        return QuantizedTensor(qweight=qw, scales=scales, bits=8, group_size=G)
+        return QuantizedTensor(
+            qweight=qw, scales=scales, bits=bits, group_size=G
+        )
 
     return {
         "embed": jax.random.normal(
@@ -84,6 +88,12 @@ def main() -> None:
         "--model", choices=("1b", "8b"), default="1b",
         help="1b = Llama-3.2-1B bf16 (BASELINE #2); 8b = Llama-3.1-8B "
         "INT8 weights + INT8 KV (BASELINE #3, the north star)",
+    )
+    parser.add_argument(
+        "--bits", type=int, default=8, choices=(4, 8),
+        help="8b-model weight width (4 = INT4: same MXU-issue-bound "
+        "per-layer slope as INT8 at equal batch, but ~4GB weight-capacity "
+        "headroom -> larger decode batches fit; VERDICT r5 capacity sweep)",
     )
     parser.add_argument("--seqs", type=int, default=None)
     parser.add_argument("--prompt-len", type=int, default=64)
@@ -139,7 +149,7 @@ def main() -> None:
             tie_word_embeddings=False,
             eos_token_ids=(),
         )
-        args.seqs = args.seqs or 176
+        args.seqs = args.seqs or (256 if args.bits == 4 else 176)
     elif on_tpu:
         # Llama-3.2-1B shapes (bench.py parity; random weights).
         cfg = LlamaConfig(
@@ -175,14 +185,14 @@ def main() -> None:
     blocks_per_seq = -(-total_len // args.block_size)
     model = Llama(cfg, dtype=jnp.bfloat16)
     if int8:
-        params = _int8_params(cfg)
+        params = _int8_params(cfg, bits=args.bits)
     else:
         params = model.init_params(jax.random.PRNGKey(0))
     config = EngineConfig(
         model=ModelConfig(
             model_name=f"llama-{args.model}-shapes",
             dtype="bfloat16",
-            quantization="int8" if int8 else None,
+            quantization=(f"int{args.bits}" if int8 else None),
             kv_cache_dtype="int8" if int8 else None,
         ),
         cache=CacheConfig(
@@ -343,7 +353,7 @@ def main() -> None:
             {
                 "metric": (
                     "engine_decode_tokens_per_sec_llama"
-                    f"{args.model}_{'int8' if int8 else 'bf16'}"
+                    f"{args.model}_{f'int{args.bits}' if int8 else 'bf16'}"
                 ),
                 # Primary value: the steady sustained-serving rate (median
                 # sub-second step over the measured wave) when tracing
