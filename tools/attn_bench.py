@@ -47,6 +47,11 @@ def main() -> None:
         "fixed cost from bandwidth",
     )
     parser.add_argument(
+        "--fp8", action="store_true",
+        help="FP8 (e4m3, scale-free) KV pages: bytes decoded in-kernel on "
+        "the VPU (_e4m3_decode) before the MXU dots",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="INT8 KV cache through the fused quantize/write/attend kernel "
         "(scale pages ride the chunk DMAs; MXU-dequant mixed int8 dots)",
@@ -93,6 +98,10 @@ def main() -> None:
             rng.integers(-127, 128, (num_blocks, bs, row)), jnp.int8
         )
         sc0 = alloc_kv_scales(num_blocks, bs) + jnp.bfloat16(0.01)
+    elif args.fp8:
+        kv0 = jnp.asarray(
+            rng.standard_normal((num_blocks, bs, row)), jnp.float8_e4m3fn
+        )
     else:
         kv0 = jnp.asarray(
             rng.standard_normal((num_blocks, bs, row)), jnp.bfloat16
@@ -171,7 +180,7 @@ def main() -> None:
 
         n = args.inner_steps * args.outer_steps
         step_ms = dt / n * 1e3
-        itemsize = 1 if args.int8 else 2
+        itemsize = 1 if (args.int8 or args.fp8) else 2
         # int8 rows + bf16 scale pages; bf16: cache rows only.
         kv_bytes = S * ctx * (row * itemsize + (256 if args.int8 else 0))
         gbps = kv_bytes / (dt / n) / 1e9
