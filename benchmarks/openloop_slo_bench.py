@@ -256,6 +256,18 @@ def main() -> None:
                     f" {time.monotonic() - t_w:.0f}s elapsed",
                     file=sys.stderr, flush=True,
                 )
+            # Warmup 3 (unmeasured Poisson phase): arrival-pattern batches
+            # hit MIXED prefill+decode bucket combinations (varying T×S)
+            # that the full-concurrency waves never produce — without this,
+            # those programs compile inside the first measured load point
+            # (observed: 730 s TTFT p50 on a cold-cache run).
+            mid = sorted(args.rates)[len(args.rates) // 2]
+            wp = await load_point(session, mid)
+            print(
+                f"# poisson shape warmup @{mid} req/s: "
+                f"{wp['completed']}/{wp['sent']} ok",
+                file=sys.stderr, flush=True,
+            )
             for rate in args.rates:
                 points.append(await load_point(session, rate))
                 print(f"# {json.dumps(points[-1])}", file=sys.stderr)
