@@ -250,6 +250,90 @@ def main():
             )
             ok &= cache_ok and sc_ok
 
+    # FP8 (e4m3) KV paths: bytes ride the int8 page machinery (bitcast at
+    # the kernel boundary) and are decoded on the VPU (_e4m3_decode).
+    for label, specs in [
+        ("fp8-decode", [(1, kv) for kv in (1, 31, 32, 33, 500, 511, 512)]),
+        ("fp8-mixed", [(48, 48), (1, 100), (1, 257)]),
+    ]:
+        S = 16 if label == "fp8-decode" else 8
+        T = -(-sum(q for q, _ in specs) // 8) * 8
+        P = max(-(-kv // bs) for _, kv in specs) + 1
+        perm = rng.permutation(num_blocks)
+        tables = np.zeros((S, P), np.int32)
+        used = 0
+        for i, (_, kv) in enumerate(specs):
+            n = -(-kv // bs)
+            tables[i, :n] = perm[used : used + n]
+            used += n
+        lens = np.zeros((S,), np.int32)
+        qsl = np.zeros((S + 1,), np.int32)
+        for i, (q_len, kv) in enumerate(specs):
+            lens[i] = kv
+            qsl[i + 1] = qsl[i] + q_len
+        qsl[len(specs) + 1 :] = qsl[len(specs)]
+
+        q = jnp.asarray(rng.standard_normal((T, Hq, D)), dtype)
+        cache = jnp.asarray(
+            rng.standard_normal((num_blocks, bs, row)), jnp.float8_e4m3fn
+        )
+        meta = AttentionMetadata(
+            slot_mapping=jnp.full((T,), -1, jnp.int32),
+            block_tables=jnp.asarray(tables),
+            seq_lens=jnp.asarray(lens),
+            query_start_loc=jnp.asarray(qsl),
+            num_seqs=jnp.asarray(len(specs), jnp.int32),
+            block_size=bs,
+        )
+        scale = D**-0.5
+        got = jax.jit(
+            lambda q, c, m: ragged_paged_attention_pallas(
+                q, c, m, scale=scale
+            )
+        )(q, cache, meta)
+        k_view, v_view = kv_cache_view(cache, Hk, D)
+        want = ragged_paged_attention_xla(
+            q, k_view, v_view, meta.block_tables, meta.seq_lens,
+            meta.query_start_loc, scale=scale, block_size=bs,
+        )
+        total = int(qsl[len(specs)])
+        ok &= check(f"pallas/{label}", got[:total], want[:total], atol=1e-1)
+
+        if label == "fp8-decode":
+            slots = np.full((T,), -1, np.int32)
+            for s_i, (_, kv) in enumerate(specs):
+                pos = kv - 1
+                slots[qsl[s_i]] = tables[s_i, pos // bs] * bs + pos % bs
+            meta_f = dataclasses.replace(
+                meta, slot_mapping=jnp.asarray(slots), decode_only=True
+            )
+            k_new = jnp.asarray(rng.standard_normal((T, Hk, D)), jnp.float32)
+            v_new = jnp.asarray(rng.standard_normal((T, Hk, D)), jnp.float32)
+            want_cache = write_kv_cache(
+                cache, k_new, v_new, meta_f.slot_mapping
+            )
+            kw, vw = kv_cache_view(want_cache, Hk, D)
+            want_f = ragged_paged_attention_xla(
+                q, kw, vw, meta_f.block_tables, meta_f.seq_lens,
+                meta_f.query_start_loc, scale=scale, block_size=bs,
+            )
+            got_f, new_cache = jax.jit(
+                lambda q, c, k, v, m: ragged_paged_attention_fused(
+                    q, c, k, v, m, scale=scale
+                )
+            )(q, cache, k_new, v_new, meta_f)
+            ok &= check(
+                f"fused/{label}", got_f[:total], want_f[:total], atol=1e-1
+            )
+            cache_eq = bool(
+                np.array_equal(
+                    np.asarray(new_cache).view(np.uint8),
+                    np.asarray(want_cache).view(np.uint8),
+                )
+            )
+            print(f"fused/{label} cache bytes equal: {cache_eq}")
+            ok &= cache_eq
+
     print("ALL OK" if ok else "FAILURES")
 
 
