@@ -341,6 +341,9 @@ class LlmEngine:
             return self._step_pipelined()
         self._drain_aborts()
         metadata, outputs = self.scheduler.schedule()
+        metrics.ENGINE_STEPS.inc()
+        metrics.SCHEDULED_TOKENS.inc(outputs.num_batched_tokens)
+        metrics.WAITING_SEQS.set(len(self.scheduler.waiting))
         for group in outputs.ignored_seq_groups:
             self._finish_group(group)
         finished: List[GenerateRequestOutput] = []

@@ -139,6 +139,16 @@ RUNNING_SEQS = REGISTRY.gauge(
 GENERATED_TOKENS = REGISTRY.counter(
     "engine_generated_tokens_total", "Total generated tokens"
 )
+ENGINE_STEPS = REGISTRY.counter(
+    "engine_steps_total", "Engine scheduler/dispatch iterations"
+)
+SCHEDULED_TOKENS = REGISTRY.counter(
+    "engine_scheduled_tokens_total",
+    "Tokens scheduled into model steps (prefill chunks + decode)",
+)
+WAITING_SEQS = REGISTRY.gauge(
+    "engine_waiting_sequences", "Sequence groups in the waiting queue"
+)
 PREEMPTIONS = REGISTRY.counter(
     "scheduler_preemptions_total",
     "Sequence groups preempted (recompute or swap) under memory pressure",

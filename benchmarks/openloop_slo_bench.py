@@ -176,6 +176,9 @@ def main() -> None:
         from atoma_infer_tpu.server import metrics
 
         preempt0 = metrics.PREEMPTIONS.value
+        steps0 = metrics.ENGINE_STEPS.value
+        sched0 = metrics.SCHEDULED_TOKENS.value
+        gen0 = metrics.GENERATED_TOKENS.value
         tasks = []
         t_start = time.monotonic()
         rid = 0
@@ -213,6 +216,22 @@ def main() -> None:
                 if len(itls_sorted) else None
             ),
             "preemptions": metrics.PREEMPTIONS.value - preempt0,
+            # Prefill-heavy mix (avg prompt ≈ 5× avg output): the total
+            # processed rate is the capacity number; achieved_tokens_per_s
+            # counts only generated tokens.
+            "processed_total_tokens_per_s": round(
+                (metrics.SCHEDULED_TOKENS.value - sched0) / wall, 1
+            ),
+            # Engine-side occupancy diagnostics: how full the steps were.
+            "engine_steps": int(metrics.ENGINE_STEPS.value - steps0),
+            "sched_tokens_per_step": round(
+                (metrics.SCHEDULED_TOKENS.value - sched0)
+                / max(1, metrics.ENGINE_STEPS.value - steps0), 1,
+            ),
+            "gen_tokens_per_step": round(
+                (metrics.GENERATED_TOKENS.value - gen0)
+                / max(1, metrics.ENGINE_STEPS.value - steps0), 1,
+            ),
         }
 
     async def go():
