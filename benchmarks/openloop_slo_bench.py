@@ -101,7 +101,8 @@ def main() -> None:
     # must preempt/swap under pressure (that's the point of the benchmark).
     avg_prompt = sum(p * w for p, w in PROMPT_TIERS) + 116
     avg_len = avg_prompt + sum(MAX_NEW) / 2
-    pool_blocks = int(S * 0.6 * (avg_len / 32 + 1))
+    pool_frac = float(os.environ.get("OPENLOOP_POOL_FRAC", "0.6"))
+    pool_blocks = int(S * pool_frac * (avg_len / 32 + 1))
     config = EngineConfig(
         model=ModelConfig(model_name="llama-1b-shapes", dtype="bfloat16"),
         cache=CacheConfig(
