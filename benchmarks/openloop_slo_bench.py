@@ -35,7 +35,116 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def run_client() -> None:
+    """Load-generator subprocess: measured points run the client OUT of the
+    server process — an in-process client's hundreds of SSE readers share
+    the engine's event loop and GIL and starve it (measured: engine steps
+    stretched from ~50 ms to ~200-500 ms purely from client-side load at
+    16-24 req/s). No jax imports here."""
+    import aiohttp
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--client-mode", action="store_true")
+    p.add_argument("--rate", type=float, required=True)
+    p.add_argument("--duration", type=float, required=True)
+    p.add_argument("--port", type=int, required=True)
+    p.add_argument("--tiers", required=True)  # "64:0.6,512:0.3,1536:0.1"
+    p.add_argument("--max-new", type=int, nargs=2, required=True)
+    p.add_argument("--seed", type=int, default=1)
+    a = p.parse_args()
+    tiers = [t.split(":") for t in a.tiers.split(",")]
+    tier_lens = [int(x) for x, _ in tiers]
+    tier_w = np.asarray([float(y) for _, y in tiers])
+    tier_w = tier_w / tier_w.sum()
+    rng = np.random.default_rng(a.seed)
+
+    async def one(session):
+        plen = int(rng.choice(tier_lens, p=tier_w))
+        max_new = int(rng.integers(a.max_new[0], a.max_new[1] + 1))
+        body = {
+            "model": "llama-1b-shapes",
+            "max_tokens": max_new,
+            "stream": True,
+            "messages": [{
+                "role": "user",
+                "content": bytes(
+                    rng.integers(40, 120, size=plen, dtype=np.uint8)
+                ).decode("latin-1"),
+            }],
+        }
+        t0 = time.monotonic()
+        ttft = None
+        stamps = []
+        try:
+            async with session.post(
+                f"http://127.0.0.1:{a.port}/v1/chat/completions", json=body,
+            ) as resp:
+                if resp.status != 200:
+                    return None
+                async for line in resp.content:
+                    if not line.startswith(b"data: "):
+                        continue
+                    if line.strip() == b"data: [DONE]":
+                        break
+                    now = time.monotonic()
+                    if ttft is None:
+                        ttft = now - t0
+                    stamps.append(now)
+        except Exception:
+            return None
+        itls = np.diff(stamps) if len(stamps) > 1 else np.asarray([])
+        return ttft, len(stamps), itls
+
+    async def go():
+        async with aiohttp.ClientSession(
+            timeout=aiohttp.ClientTimeout(total=None)
+        ) as session:
+            tasks = []
+            t0 = time.monotonic()
+            while time.monotonic() - t0 < a.duration:
+                tasks.append(asyncio.create_task(one(session)))
+                await asyncio.sleep(float(rng.exponential(1.0 / a.rate)))
+            rows = [r for r in await asyncio.gather(*tasks) if r is not None]
+            wall = time.monotonic() - t0
+            ttfts = sorted(r[0] for r in rows if r[0] is not None)
+            tokens = sum(r[1] for r in rows)
+            itls = np.sort(
+                np.concatenate([r[2] for r in rows])
+                if rows else np.asarray([])
+            )
+
+            def q(xs, p):
+                return (
+                    float(xs[min(len(xs) - 1, int(len(xs) * p))])
+                    if len(xs) else None
+                )
+
+            print(json.dumps({
+                "sent": len(tasks),
+                "completed": len(rows),
+                "wall_s": round(wall, 2),
+                "tokens": int(tokens),
+                "ttft_p50_ms": (
+                    round(1000 * q(ttfts, 0.50), 1) if ttfts else None
+                ),
+                "ttft_p99_ms": (
+                    round(1000 * q(ttfts, 0.99), 1) if ttfts else None
+                ),
+                "itl_p50_ms": (
+                    round(1000 * q(itls, 0.50), 1) if len(itls) else None
+                ),
+                "itl_p99_ms": (
+                    round(1000 * q(itls, 0.99), 1) if len(itls) else None
+                ),
+            }))
+
+    asyncio.run(go())
+
+
 def main() -> None:
+    if "--client-mode" in sys.argv:
+        run_client()
+        return
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--rates", type=float, nargs="+", default=[10.0, 20.0, 30.0, 40.0],
@@ -173,49 +282,41 @@ def main() -> None:
         itls = np.diff(stamps) if len(stamps) > 1 else np.asarray([])
         return ttft, len(stamps), itls
 
+    tier_spec = ",".join(f"{p}:{w}" for p, w in PROMPT_TIERS)
+
     async def load_point(session, rate):
+        """One measured load point: the Poisson client runs in a SEPARATE
+        process (see run_client) so load generation cannot starve the
+        engine's event loop; engine-side metric deltas bracket it."""
+        del session
         from atoma_infer_tpu.server import metrics
 
         preempt0 = metrics.PREEMPTIONS.value
         steps0 = metrics.ENGINE_STEPS.value
         sched0 = metrics.SCHEDULED_TOKENS.value
         gen0 = metrics.GENERATED_TOKENS.value
-        tasks = []
-        t_start = time.monotonic()
-        rid = 0
-        # Poisson arrivals: exponential gaps, independent of completions.
-        while time.monotonic() - t_start < args.duration:
-            tasks.append(
-                asyncio.create_task(one_request(session, rid))
-            )
-            rid += 1
-            await asyncio.sleep(float(rng.exponential(1.0 / rate)))
-        rows = [
-            r for r in await asyncio.gather(*tasks) if r is not None
-        ]
-        wall = time.monotonic() - t_start
-        ttfts = sorted(r[0] for r in rows if r[0] is not None)
-        tokens = sum(r[1] for r in rows)
-        itls = np.concatenate([r[2] for r in rows]) if rows else np.asarray([])
-        q = lambda xs, p: (  # noqa: E731
-            xs[min(len(xs) - 1, int(len(xs) * p))] if len(xs) else None
+        proc = await asyncio.create_subprocess_exec(
+            sys.executable, os.path.abspath(__file__), "--client-mode",
+            "--rate", str(rate), "--duration", str(args.duration),
+            "--port", str(args.port), "--tiers", tier_spec,
+            "--max-new", str(MAX_NEW[0]), str(MAX_NEW[1]),
+            "--seed", str(int(rate * 1000) % 99991),
+            stdout=asyncio.subprocess.PIPE,
+            stderr=asyncio.subprocess.DEVNULL,
         )
-        itls_sorted = np.sort(itls)
+        out, _ = await proc.communicate()
+        client = json.loads(out.splitlines()[-1])
+        wall = client["wall_s"]
+        steps = max(1, int(metrics.ENGINE_STEPS.value - steps0))
         return {
             "offered_req_per_s": rate,
-            "sent": rid,
-            "completed": len(rows),
-            "achieved_tokens_per_s": round(tokens / wall, 1),
-            "ttft_p50_ms": round(1000 * q(ttfts, 0.50), 1) if ttfts else None,
-            "ttft_p99_ms": round(1000 * q(ttfts, 0.99), 1) if ttfts else None,
-            "itl_p50_ms": (
-                round(1000 * float(q(itls_sorted, 0.50)), 1)
-                if len(itls_sorted) else None
-            ),
-            "itl_p99_ms": (
-                round(1000 * float(q(itls_sorted, 0.99)), 1)
-                if len(itls_sorted) else None
-            ),
+            "sent": client["sent"],
+            "completed": client["completed"],
+            "achieved_tokens_per_s": round(client["tokens"] / wall, 1),
+            "ttft_p50_ms": client["ttft_p50_ms"],
+            "ttft_p99_ms": client["ttft_p99_ms"],
+            "itl_p50_ms": client["itl_p50_ms"],
+            "itl_p99_ms": client["itl_p99_ms"],
             "preemptions": metrics.PREEMPTIONS.value - preempt0,
             # Prefill-heavy mix (avg prompt ≈ 5× avg output): the total
             # processed rate is the capacity number; achieved_tokens_per_s
@@ -224,14 +325,12 @@ def main() -> None:
                 (metrics.SCHEDULED_TOKENS.value - sched0) / wall, 1
             ),
             # Engine-side occupancy diagnostics: how full the steps were.
-            "engine_steps": int(metrics.ENGINE_STEPS.value - steps0),
+            "engine_steps": steps,
             "sched_tokens_per_step": round(
-                (metrics.SCHEDULED_TOKENS.value - sched0)
-                / max(1, metrics.ENGINE_STEPS.value - steps0), 1,
+                (metrics.SCHEDULED_TOKENS.value - sched0) / steps, 1,
             ),
             "gen_tokens_per_step": round(
-                (metrics.GENERATED_TOKENS.value - gen0)
-                / max(1, metrics.ENGINE_STEPS.value - steps0), 1,
+                (metrics.GENERATED_TOKENS.value - gen0) / steps, 1,
             ),
         }
 
