@@ -26,6 +26,18 @@ from ..ops.kv_cache import PAD_SLOT_ID
 from ..sequence import SequenceGroupMetadata
 
 
+# Diagnostic: how many distinct (T, S, P) bucket shapes — i.e. distinct
+# compiled programs — a serving session actually dispatches, and how often.
+# Program-shape churn is a first-order cost through remote runtimes
+# (per-process executable loads, resident-set thrash).
+SHAPE_COUNTS: dict = {}
+
+
+def _record_shape(T: int, S: int, P: int, kind: str) -> None:
+    key = (kind, T, S, P)
+    SHAPE_COUNTS[key] = SHAPE_COUNTS.get(key, 0) + 1
+
+
 def bucket(n: int, minimum: int = 8, maximum: Optional[int] = None) -> int:
     """Round up to the next power of two (≥ minimum), capped at maximum."""
     b = minimum
@@ -129,6 +141,7 @@ def _prepare_decode_fast(
     tables = np.zeros((S, P), dtype=np.int32)
     for i, t in enumerate(tables_list):
         tables[i, : min(len(t), P)] = t[:P]
+    _record_shape(T, S, P, "decode")
 
     idx = np.arange(num_seqs)
     page = tables[idx, pos[:num_seqs] // block_size]
@@ -269,6 +282,7 @@ def prepare_model_input(
     # a few lanes of padding saved.
     max_pages = max((len(t) for t in per_seq_tables), default=1)
     P = bucket(max(max_pages, 1), minimum=8, maximum=max_pages_per_seq)
+    _record_shape(T, S, P, "mixed")
 
     tok = np.zeros(T, dtype=np.int32)
     tok[:num_tokens] = token_ids

@@ -141,10 +141,22 @@ def run_client() -> None:
     asyncio.run(go())
 
 
+def _span_pct(tracing, name, after_s, p):
+    ds = sorted(
+        r.duration_ms
+        for r in tracing.recent_spans(name)
+        if r.start_s >= after_s
+    )
+    if not ds:
+        return None
+    return round(ds[min(len(ds) - 1, int(len(ds) * p))], 1)
+
+
 def main() -> None:
     if "--client-mode" in sys.argv:
         run_client()
         return
+    os.environ.setdefault("ATOMA_TRACE", "1")
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--rates", type=float, nargs="+", default=[10.0, 20.0, 30.0, 40.0],
@@ -289,12 +301,16 @@ def main() -> None:
         process (see run_client) so load generation cannot starve the
         engine's event loop; engine-side metric deltas bracket it."""
         del session
+        from atoma_infer_tpu.engine import input_prep
         from atoma_infer_tpu.server import metrics
+        from atoma_infer_tpu.utils import tracing
 
         preempt0 = metrics.PREEMPTIONS.value
         steps0 = metrics.ENGINE_STEPS.value
         sched0 = metrics.SCHEDULED_TOKENS.value
         gen0 = metrics.GENERATED_TOKENS.value
+        shapes0 = set(input_prep.SHAPE_COUNTS)
+        t_point = time.monotonic()
         proc = await asyncio.create_subprocess_exec(
             sys.executable, os.path.abspath(__file__), "--client-mode",
             "--rate", str(rate), "--duration", str(args.duration),
@@ -332,6 +348,14 @@ def main() -> None:
             "gen_tokens_per_step": round(
                 (metrics.GENERATED_TOKENS.value - gen0) / steps, 1,
             ),
+            # Program-shape churn (distinct (T,S,P) buckets = distinct
+            # executables) and true engine-step durations this point.
+            "distinct_shapes_total": len(input_prep.SHAPE_COUNTS),
+            "new_shapes_this_point": len(
+                set(input_prep.SHAPE_COUNTS) - shapes0
+            ),
+            "step_ms_p50": _span_pct(tracing, "engine.step", t_point, 0.50),
+            "step_ms_p99": _span_pct(tracing, "engine.step", t_point, 0.99),
         }
 
     async def go():
