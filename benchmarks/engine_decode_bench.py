@@ -83,6 +83,11 @@ def _int8_params(cfg, bits=8):
 
 
 def main() -> None:
+    # The PRIMARY value (steady sustained-serving median) comes from the
+    # engine.step tracing spans — enable before atoma modules import so a
+    # direct `python benchmarks/engine_decode_bench.py` run captures them
+    # (bench.py already sets this; a queue runner may not).
+    os.environ.setdefault("ATOMA_TRACE", "1")
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument(
         "--model", choices=("1b", "8b"), default="1b",
