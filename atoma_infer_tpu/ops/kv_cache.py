@@ -105,7 +105,20 @@ def write_kv_cache(
         on_tpu = jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover
         on_tpu = False
-    if on_tpu and kv_cache.shape[2] % 128 == 0:
+    # The Pallas RMW kernel stages ALL new rows in VMEM ([T, R] resident):
+    # past ~12MB of staged rows (plus its page scratch) it exceeds Mosaic's
+    # 16MB scoped-VMEM limit — an 8192-token chunked-prefill step at 1B row
+    # width (1024 lanes bf16) measured 16.12M and failed to compile. Big
+    # prefill chunks take the XLA scatter instead: the ~100×-roofline
+    # scatter tax matters on the per-step DECODE path, not on a
+    # once-per-chunk bulk write of thousands of contiguous rows.
+    T = k_new.shape[0]
+    row_bytes = kv_cache.shape[2] * jnp.dtype(kv_cache.dtype).itemsize
+    if (
+        on_tpu
+        and kv_cache.shape[2] % 128 == 0
+        and T * row_bytes <= 12 * 1024 * 1024
+    ):
         from .kv_write import write_kv_cache_pallas
 
         return write_kv_cache_pallas(
